@@ -1,0 +1,213 @@
+"""PriOr-RAFT: dual-branch recurrent panoramic optical-flow model.
+
+TPU-native rebuild of the reference model (PriOr-RAFT/core/prior_raft.py).
+Key architectural departures from the PyTorch original — all TPU-first,
+none behaviour-changing:
+
+- NHWC layout everywhere; convs hit the MXU without layout transposes.
+- The 12-iteration GRU loop is a ``jax.lax.scan`` (flat compile time,
+  per-iteration rematerialisation for backward memory) instead of an
+  unrolled Python loop.
+- All eight spherical rotation grids are precomputed host-side constants
+  (geometry.grids) — the reference rebuilds them on-device every forward
+  call (core/prior_raft.py:115-125).
+- Mixed precision is bfloat16 compute (no loss scaling needed), while the
+  correlation volume, its lookups, and the flaw maps stay float32 — the
+  same split the reference's autocast regions produce
+  (core/prior_raft.py:134-188).
+
+Forward contract (core/prior_raft.py:107-215): inputs are uint8-range RGB
+images (B, H, W, 3) in [0, 255]; ``test_mode`` returns the final upsampled
+branch-A flow (B, H, W, 2); otherwise both branches' per-iteration
+predictions are returned stacked as (iters, B, H, W, 2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geometry import grids as gridlib
+from ..nn.encoder import BasicEncoder
+from ..nn.update import BasicMultiUpdateBlock, BasicUpdateBlock
+from ..ops.corr import DCCL, all_pairs_correlation, build_pyramid, groupwise_corr
+from ..ops.samplers import cycle_bilinear_sample
+from ..ops.warp import flo_rotate, img_rotate
+
+
+class StepConsts(NamedTuple):
+    """Loop-invariant inputs broadcast (not scanned) into every GRU step."""
+
+    inp_A: jnp.ndarray
+    inp_B: jnp.ndarray
+    fmap1_A: jnp.ndarray
+    fmap2_A: jnp.ndarray
+    pyr_A: Tuple[jnp.ndarray, ...]
+    pyr_B: Tuple[jnp.ndarray, ...]
+    coords0: jnp.ndarray
+    a2b_8: jnp.ndarray
+    a2b_w2c_8: jnp.ndarray
+    b2a_8: jnp.ndarray
+    b2a_w2c_8: jnp.ndarray
+
+
+def upsample_flow_convex(flow, mask):
+    """Convex-combination 8x flow upsampling (core/prior_raft.py:58-67).
+
+    flow: (B, h, w, 2); mask: (B, h, w, 576) ordered (9, 8, 8) channel-major
+    exactly like the torch ``view(N, 1, 9, 8, 8, H, W)``.
+    """
+    B, h, w, _ = flow.shape
+    m = mask.reshape(B, h, w, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    f = 8.0 * flow
+    fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 3x3 neighbourhoods in F.unfold order: k = ky*3 + kx
+    neigh = jnp.stack(
+        [fp[:, ky:ky + h, kx:kx + w, :] for ky in range(3) for kx in range(3)],
+        axis=3,
+    )  # (B, h, w, 9, 2)
+    up = jnp.einsum("bhwkij,bhwkc->bhwijc", m.astype(f.dtype), neigh)
+    up = up.transpose(0, 1, 4, 2, 5, 3).reshape(B, 8 * h, 8 * w, 2)
+    return up
+
+
+class PriOrRAFT(nn.Module):
+    """Dual-branch RAFT with Dual-Cost Collaborative Lookup and
+    Ortho-Driven Distortion Compensation (reference core/prior_raft.py:27)."""
+
+    hidden_dim: int = 128
+    context_dim: int = 128
+    corr_levels: int = 4
+    corr_radius: int = 4
+    dropout: float = 0.0
+    mixed_precision: bool = False
+    bn_running_average: bool = True  # freeze_bn semantics (prior_raft.py:43-48)
+    remat: bool = True
+
+    def setup(self):
+        dtype = jnp.bfloat16 if self.mixed_precision else None
+        self.fnet = BasicEncoder(output_dim=256, norm_fn="instance",
+                                 dropout=self.dropout, dtype=dtype)
+        self.cnet = BasicEncoder(output_dim=self.hidden_dim + self.context_dim,
+                                 norm_fn="batch", dropout=self.dropout,
+                                 use_running_average=self.bn_running_average,
+                                 dtype=dtype)
+        self.ODDC = BasicMultiUpdateBlock(hidden_dim=self.hidden_dim, dtype=dtype)
+        self.update_block = BasicUpdateBlock(hidden_dim=self.hidden_dim, dtype=dtype)
+        self._dccl = DCCL(num_levels=self.corr_levels, radius=self.corr_radius)
+
+    # -- one GRU iteration (reference core/prior_raft.py:170-211) ----------
+    def _step(self, carry, consts: StepConsts):
+        net_A, net_B, coords1_A, coords1_B = carry
+        c = consts
+
+        coords1_A = jax.lax.stop_gradient(coords1_A)
+        flow_A = coords1_A - c.coords0
+        warped_fmap2_A = cycle_bilinear_sample(c.fmap2_A, coords1_A)
+        flaw_A = groupwise_corr(c.fmap1_A, warped_fmap2_A, num_groups=4)
+
+        coords1_B = jax.lax.stop_gradient(coords1_B)
+        flow_B = coords1_B - c.coords0
+
+        flow_B_A = flo_rotate(flow_B, c.b2a_w2c_8, c.b2a_8)
+        coords1_B_A = c.coords0 + flow_B_A
+        warped_fmap2_B_A = cycle_bilinear_sample(c.fmap2_A, coords1_B_A)
+        flaw_B_A = groupwise_corr(c.fmap1_A, warped_fmap2_B_A, num_groups=4)
+
+        corr_A, corr_B_A = self._dccl(coords1_A, c.pyr_A, c.pyr_B,
+                                      c.a2b_w2c_8, c.b2a_8)
+        corr_B, corr_A_B = self._dccl(coords1_B, c.pyr_B, c.pyr_A,
+                                      c.b2a_w2c_8, c.a2b_8)
+        corr_A = corr_A + corr_B_A
+        corr_B = corr_B + corr_A_B
+
+        net_A, up_mask_A, delta_flow_A = self.ODDC(
+            net_A, c.inp_A, flow_A, corr_A, flaw_A, flow_B_A, flaw_B_A)
+        net_B, up_mask_B, delta_flow_B = self.update_block(
+            net_B, c.inp_B, corr_B, flow_B)
+
+        coords1_A = coords1_A + delta_flow_A
+        coords1_B = coords1_B + delta_flow_B
+
+        flow_up_A = upsample_flow_convex(coords1_A - c.coords0, up_mask_A)
+        flow_up_B = upsample_flow_convex(coords1_B - c.coords0, up_mask_B)
+
+        return (net_A, net_B, coords1_A, coords1_B), (flow_up_A, flow_up_B)
+
+    def __call__(self, image1, image2, iters: int = 12,
+                 init_flow: Optional[jnp.ndarray] = None,
+                 test_mode: bool = False, train: bool = False):
+        B, H, W, _ = image1.shape
+        g = gridlib.rotation_grids(H, W)
+        a2b = jnp.asarray(g.a2b)
+        a2b_8 = jnp.asarray(g.a2b_8)
+        a2b_w2c_8 = jnp.asarray(g.a2b_w2c_8)
+        b2a_8 = jnp.asarray(g.b2a_8)
+        b2a_w2c_8 = jnp.asarray(g.b2a_w2c_8)
+
+        # normalise to [-1, 1] (prior_raft.py:109-110)
+        image1_A = 2.0 * (image1 / 255.0) - 1.0
+        image2_A = 2.0 * (image2 / 255.0) - 1.0
+
+        # orthogonal view (prior_raft.py:127-129)
+        stacked = jnp.concatenate([image1_A, image2_A], axis=-1)
+        rotated = img_rotate(stacked, a2b)
+        image1_B, image2_B = rotated[..., :3], rotated[..., 3:]
+
+        # context network (prior_raft.py:134-142)
+        cnet_A, cnet_B = self.cnet([image1_A, image1_B], train=train)
+        net_A = jnp.tanh(cnet_A[..., : self.hidden_dim])
+        inp_A = nn.relu(cnet_A[..., self.hidden_dim:])
+        net_B = jnp.tanh(cnet_B[..., : self.hidden_dim])
+        inp_B = nn.relu(cnet_B[..., self.hidden_dim:])
+
+        # feature network (prior_raft.py:144-149); float32 for correlation
+        fmaps = self.fnet([image1_A, image2_A, image1_B, image2_B], train=train)
+        fmap1_A, fmap2_A, fmap1_B, fmap2_B = [f.astype(jnp.float32) for f in fmaps]
+
+        # all-pairs cost volumes + pyramids (prior_raft.py:151-159)
+        pyr_A = tuple(build_pyramid(all_pairs_correlation(fmap1_A, fmap2_A),
+                                    self.corr_levels))
+        pyr_B = tuple(build_pyramid(all_pairs_correlation(fmap1_B, fmap2_B),
+                                    self.corr_levels))
+
+        # flow initialisation (prior_raft.py:161-165)
+        h8, w8 = H // 8, W // 8
+        coords0 = jnp.broadcast_to(
+            jnp.asarray(gridlib.identity_grid(h8, w8))[None], (B, h8, w8, 2))
+        coords1_A = coords0
+        coords1_B = coords0
+        if init_flow is not None:
+            coords1_A = coords1_A + init_flow
+            coords1_B = coords1_B + flo_rotate(init_flow, a2b_w2c_8, a2b_8)
+
+        consts = StepConsts(
+            inp_A=inp_A, inp_B=inp_B,
+            fmap1_A=fmap1_A, fmap2_A=fmap2_A,
+            pyr_A=pyr_A, pyr_B=pyr_B,
+            coords0=coords0,
+            a2b_8=a2b_8, a2b_w2c_8=a2b_w2c_8,
+            b2a_8=b2a_8, b2a_w2c_8=b2a_w2c_8,
+        )
+        carry0 = (net_A, net_B, coords1_A, coords1_B)
+
+        step = PriOrRAFT._step
+        if self.remat:
+            step = nn.remat(step, prevent_cse=False)
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=iters,
+        )
+        _, (preds_A, preds_B) = scan(self, carry0, consts)
+
+        if test_mode:
+            return preds_A[-1]
+        return preds_A, preds_B

@@ -1,0 +1,24 @@
+from .encoder import BasicEncoder, BottleneckBlock, ResidualBlock, SmallEncoder
+from .update import (
+    BasicMotionEncoder,
+    BasicMultiMotionEncoder,
+    BasicMultiUpdateBlock,
+    BasicUpdateBlock,
+    ConvGRU,
+    FlowHead,
+    SepConvGRU,
+)
+
+__all__ = [
+    "BasicEncoder",
+    "BottleneckBlock",
+    "ResidualBlock",
+    "SmallEncoder",
+    "BasicMotionEncoder",
+    "BasicMultiMotionEncoder",
+    "BasicMultiUpdateBlock",
+    "BasicUpdateBlock",
+    "ConvGRU",
+    "FlowHead",
+    "SepConvGRU",
+]

@@ -1,0 +1,137 @@
+"""Image / flow / coordinate rotation warps and flow resizing.
+
+TPU-native re-expression of the reference's rotation-warp layer
+(PriOr-RAFT/core/utils/projection_prim_ortho.py:447-583 and
+core/utils/my_cycle_sample.py:100-115). All tensors are channels-last:
+images ``(B, H, W, C)``, flow fields ``(B, H, W, 2)``.
+
+Rotation grids are passed in explicitly (precomputed via geometry.grids);
+the convenience ``*_a2b`` / ``*_b2a`` wrappers fetch the cached ones.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..geometry import erp, grids
+from .samplers import bilinear_sample, cycle_bilinear_sample, cycle_grid_sample
+
+
+def _bcast(grid, B):
+    """(H, W, 2) host grid -> (B, H, W, 2) device constant."""
+    g = jnp.asarray(grid)
+    return jnp.broadcast_to(g, (B,) + g.shape)
+
+
+def img_rotate(image, sample_grid):
+    """Resample an image through a rotation grid.
+
+    Reference: ``img_rotate`` (projection_prim_ortho.py:507-514) — uses the
+    wrap-x grid_sample wrapper, NOT the gather sampler.
+    image: (B, H, W, C); sample_grid: (H, W, 2) or (B, H, W, 2).
+    """
+    if sample_grid.ndim == 3:
+        sample_grid = _bcast(sample_grid, image.shape[0])
+    return cycle_bilinear_sample(image, sample_grid)
+
+
+def img_a2b(image):
+    """A (primitive) view -> B (orthogonal) view. projection_prim_ortho.py:517-519."""
+    H, W = image.shape[1], image.shape[2]
+    return img_rotate(image, grids.rotation_grids(H, W).a2b if H % 8 == 0 and W % 8 == 0
+                      else grids.sample_grid(H, W, (0.0, 0.0, -erp.PI / 2)))
+
+
+def img_b2a(image):
+    """B view -> A view. projection_prim_ortho.py:522-524."""
+    H, W = image.shape[1], image.shape[2]
+    return img_rotate(image, grids.rotation_grids(H, W).b2a if H % 8 == 0 and W % 8 == 0
+                      else grids.sample_grid(H, W, (0.0, 0.0, erp.PI / 2)))
+
+
+def flo_rotate(flow, sample_grid_w2c, sample_grid_c2w):
+    """Rotate a *vector field* between ERP views.
+
+    The endpoint-push/pull construction of the reference
+    (``flo_rotate``, projection_prim_ortho.py:531-546):
+
+    1. endpoints in the world frame = identity grid + flow (wrapped/clamped);
+    2. push endpoints through the world->camera grid with the gather sampler
+       in ``is_grid`` mode (coordinate payload, wrap-consistent corners);
+    3. camera-frame flow = pushed endpoints - camera-frame start grid,
+       horizontal component wrapped into [-W/2, W/2);
+    4. resample the camera-frame flow at the camera->world grid.
+
+    flow: (B, H, W, 2); grids: (H, W, 2) or (B, H, W, 2).
+    """
+    B, H, W, _ = flow.shape
+    if sample_grid_w2c.ndim == 3:
+        sample_grid_w2c = _bcast(sample_grid_w2c, B)
+    if sample_grid_c2w.ndim == 3:
+        sample_grid_c2w = _bcast(sample_grid_c2w, B)
+    start_w = jnp.asarray(grids.identity_grid(H, W))[None]
+    end_w = erp.flow_to_endpoint(start_w, flow, H, W)
+    end_c = cycle_grid_sample(sample_grid_w2c, end_w, is_grid=True)
+    flow_c = end_c - sample_grid_w2c
+    flow_c = jnp.stack([erp.u_clip(flow_c[..., 0], W), flow_c[..., 1]], axis=-1)
+    return cycle_grid_sample(flow_c, sample_grid_c2w, is_grid=False)
+
+
+def flo_a2b(flow):
+    """A-frame flow -> B-frame flow (projection_prim_ortho.py:563-565)."""
+    H, W = flow.shape[1], flow.shape[2]
+    g = grids.rotation_grids(H, W)
+    return flo_rotate(flow, g.a2b_w2c, g.a2b)
+
+
+def flo_b2a(flow):
+    """B-frame flow -> A-frame flow (projection_prim_ortho.py:568-570)."""
+    H, W = flow.shape[1], flow.shape[2]
+    g = grids.rotation_grids(H, W)
+    return flo_rotate(flow, g.b2a_w2c, g.b2a)
+
+
+def coord_rotate(coords, sample_grid_w2c, sample_grid_c2w):
+    """Rotate an absolute coordinate field (projection_prim_ortho.py:548-561)."""
+    B = coords.shape[0]
+    if sample_grid_w2c.ndim == 3:
+        sample_grid_w2c = _bcast(sample_grid_w2c, B)
+    if sample_grid_c2w.ndim == 3:
+        sample_grid_c2w = _bcast(sample_grid_c2w, B)
+    end_c = cycle_grid_sample(sample_grid_w2c, coords, is_grid=True)
+    return cycle_grid_sample(end_c, sample_grid_c2w, is_grid=True)
+
+
+def cycle_warp(image, flow):
+    """Backward-warp an image by a flow field with the true-wrap sampler.
+
+    Reference: ``my_cycle_warp`` (core/utils/my_cycle_sample.py:100-115).
+    """
+    B, H, W, _ = image.shape
+    grid = jnp.asarray(grids.identity_grid(H, W))[None] + flow
+    return cycle_grid_sample(image, grid)
+
+
+def _resize_bilinear_align_corners(x, out_h, out_w):
+    """Bilinear resize with align_corners=True (torch F.interpolate parity)."""
+    B, H, W, C = x.shape
+    ys = jnp.linspace(0.0, H - 1.0, out_h)
+    xs = jnp.linspace(0.0, W - 1.0, out_w)
+    gx, gy = jnp.meshgrid(xs, ys)
+    coords = jnp.broadcast_to(jnp.stack([gx, gy], axis=-1), (B, out_h, out_w, 2))
+    return bilinear_sample(x, coords)
+
+
+def upflow8(flow):
+    """8x bilinear upsample of a flow field with 8x magnitude scaling.
+
+    Reference: ``upflow8`` (core/utils/utils.py:104-106).
+    """
+    B, H, W, _ = flow.shape
+    return 8.0 * _resize_bilinear_align_corners(flow, 8 * H, 8 * W)
+
+
+def downflow8(flow):
+    """1/8 bilinear downsample with 1/8 magnitude scaling (utils.py:108-110)."""
+    B, H, W, _ = flow.shape
+    return _resize_bilinear_align_corners(flow, H // 8, W // 8) / 8.0
