@@ -1,0 +1,3 @@
+from .convert import convert_state_dict, convert_things_ckpt, load_pth
+
+__all__ = ["convert_state_dict", "convert_things_ckpt", "load_pth"]

@@ -1,0 +1,7 @@
+"""Command-line entry points:
+
+    python -m prior_flow_tpu.cli.demo        # random-pair smoke test
+    python -m prior_flow_tpu.cli.demo_image  # pretrained inference + viz
+    python -m prior_flow_tpu.cli.evaluate    # EPE/SEPE validation
+    python -m prior_flow_tpu.cli.train       # training
+"""

@@ -1,0 +1,120 @@
+"""Host-side batching / prefetching data loader.
+
+TPU-native replacement for the reference's ``torch.utils.data.DataLoader``
+(4 worker processes, datasets.py:466-467): a thread-pool loader (image
+decode in cv2/PIL releases the GIL) with double-buffered batch prefetch, an
+infinite epoch-less iterator matching the reference's ``while`` train loop
+(train_flow.py:119), and optional device-put with a target sharding so the
+host->HBM copy overlaps compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _stack_batch(samples):
+    """Stack per-sample tuples into batch arrays (images stay NHWC)."""
+    cols = list(zip(*samples))
+    out = []
+    for col in cols:
+        if isinstance(col[0], np.ndarray):
+            out.append(np.stack(col, axis=0))
+        else:
+            out.append(list(col))
+    return tuple(out)
+
+
+class DataLoader:
+    """Shuffling, prefetching batch loader over an indexable dataset."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, drop_last: bool = True,
+                 seed: int = 1234, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator:
+        idx = self._epoch_indices()
+        n_batches = len(self)
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    q.put(_stack_batch(samples))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+    def infinite(self) -> Iterator:
+        """Epoch-less stream (reference train loop semantics,
+        train_flow.py:119-199)."""
+        while True:
+            yield from self
+
+
+def device_prefetch(iterator, sharding=None, size: int = 2):
+    """Move host batches onto device(s) ahead of compute.
+
+    ``sharding``: optional ``jax.sharding.Sharding`` (e.g. batch-sharded
+    NamedSharding) applied via ``jax.device_put`` — the multi-chip data
+    path; with None, arrays go to the default device.
+    """
+    import jax
+
+    buf = []
+    it = iter(iterator)
+
+    def put(batch):
+        return tuple(
+            jax.device_put(x, sharding) if isinstance(x, np.ndarray) else x
+            for x in batch)
+
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.pop(0)
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass

@@ -71,7 +71,8 @@ def upsample_flow_convex(flow, mask):
         axis=3,
     )  # (B, h, w, 9, 2)
     up = jnp.einsum("bhwkij,bhwkc->bhwijc", m.astype(f.dtype), neigh)
-    up = up.transpose(0, 1, 4, 2, 5, 3).reshape(B, 8 * h, 8 * w, 2)
+    # (B, h, w, i, j, c) -> (B, h, i, w, j, c) -> (B, 8h, 8w, c)
+    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
     return up
 
 
@@ -87,6 +88,9 @@ class PriOrRAFT(nn.Module):
     mixed_precision: bool = False
     bn_running_average: bool = True  # freeze_bn semantics (prior_raft.py:43-48)
     remat: bool = True
+    # XLA matmul/conv precision: None = backend default (fastest on TPU),
+    # 'highest' = full fp32 accumulation (checkpoint-parity mode).
+    precision: Optional[str] = None
 
     def setup(self):
         dtype = jnp.bfloat16 if self.mixed_precision else None
@@ -141,6 +145,13 @@ class PriOrRAFT(nn.Module):
     def __call__(self, image1, image2, iters: int = 12,
                  init_flow: Optional[jnp.ndarray] = None,
                  test_mode: bool = False, train: bool = False):
+        if self.precision is not None:
+            with jax.default_matmul_precision(self.precision):
+                return self._forward(image1, image2, iters, init_flow,
+                                     test_mode, train)
+        return self._forward(image1, image2, iters, init_flow, test_mode, train)
+
+    def _forward(self, image1, image2, iters, init_flow, test_mode, train):
         B, H, W, _ = image1.shape
         g = gridlib.rotation_grids(H, W)
         a2b = jnp.asarray(g.a2b)

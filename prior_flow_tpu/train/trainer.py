@@ -1,0 +1,249 @@
+"""Training state, jitted train step, and the high-level training loop.
+
+Rebuild of the reference trainer (train_flow.py:94-203) as a functional
+JAX/optax pipeline:
+
+- ``TrainState``: params + frozen batch_stats + optimizer state + step.
+- ``make_train_step``: builds one jitted SPMD step — B-branch ground truth
+  synthesised on device via ``flo_a2b`` under stop_gradient
+  (train_flow.py:123-126), optional gaussian noise augmentation
+  (train_flow.py:127-130), dual-branch latitude-weighted sequence loss
+  (sum, train_flow.py:137-139), global-norm clip + AdamW + OneCycle.
+- ``Trainer``: epoch-less loop with periodic checkpointing + validation
+  every VAL_FREQ steps (train_flow.py:181-194), pluggable metric logger,
+  and per-step timing (a first-class upgrade — the reference has no
+  profiling at all, SURVEY.md §5).
+
+bf16 note: with ``mixed_precision`` the model computes in bfloat16; no loss
+scaling is needed (bf16 has fp32 exponent range), so the reference's AMP
+GradScaler machinery (train_flow.py:113,141-146) has no TPU counterpart by
+design.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..ops.warp import flo_a2b
+from .loss import uniform_sequence_loss
+from .optim import make_optimizer
+
+VAL_FREQ = 5000  # train_flow.py:48
+IMAGE_LOG_FREQ = 1024  # train_flow.py:152
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+        )
+
+    @property
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def make_train_step(model, tx, iters: int = 12, gamma: float = 0.8,
+                    add_noise: bool = False):
+    """Build the (jittable) one-step update function.
+
+    step(state, batch, rng) -> (state, metrics)
+    batch = (image1, image2, flow_gt, valid): NHWC float32 on device.
+    """
+
+    def train_step(state: TrainState, batch, rng):
+        image1, image2, flow_gt, valid = batch
+
+        # B-branch GT synthesised on device, no grad (train_flow.py:123-126)
+        flow_gt_B = jax.lax.stop_gradient(flo_a2b(flow_gt))
+        valid_B = ((jnp.abs(flow_gt_B[..., 0]) < 1000) &
+                   (jnp.abs(flow_gt_B[..., 1]) < 1000)).astype(jnp.float32)
+
+        if add_noise:
+            nrng, srng = jax.random.split(rng)
+            stdv = jax.random.uniform(srng, (), minval=0.0, maxval=5.0)
+            image1 = jnp.clip(
+                image1 + stdv * jax.random.normal(nrng, image1.shape), 0.0, 255.0)
+            nrng2 = jax.random.fold_in(nrng, 1)
+            image2 = jnp.clip(
+                image2 + stdv * jax.random.normal(nrng2, image2.shape), 0.0, 255.0)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            preds_A, preds_B = model.apply(
+                variables, image1, image2, iters=iters, train=True,
+                rngs={"dropout": rng})
+            loss_A, mA = uniform_sequence_loss(
+                preds_A, flow_gt, valid, gamma=gamma, prefix="A-")
+            loss_B, mB = uniform_sequence_loss(
+                preds_B, flow_gt_B, valid_B, gamma=gamma, prefix="B-")
+            return loss_A + loss_B, {**mA, **mB}
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        metrics = dict(metrics)
+        metrics["train/loss"] = loss
+        metrics["train/grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+@dataclass
+class TrainerConfig:
+    """Flag surface mirroring train_flow.py:206-231."""
+
+    name: str = "EFT"
+    stage: str = "EFT"
+    lr: float = 1e-4
+    num_steps: int = 60000
+    batch_size: int = 4
+    iters: int = 12
+    wdecay: float = 1e-4
+    epsilon: float = 1e-8
+    clip: float = 1.0
+    gamma: float = 0.8
+    add_noise: bool = False
+    mixed_precision: bool = False
+    dropout: float = 0.0
+    save_path: str = "./checkpoints"
+    restore_ckpt: Optional[str] = None
+    validation: tuple = ()
+    val_freq: int = VAL_FREQ
+    seed: int = 1234
+    data_root: Optional[str] = None
+
+
+class Trainer:
+    """Epoch-less training loop (train_flow.py:119-203) with mesh sharding."""
+
+    def __init__(self, model, cfg: TrainerConfig, mesh=None,
+                 logger: Optional[Callable[[Dict, int], None]] = None,
+                 validators: Optional[Dict[str, Callable]] = None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.logger = logger or (lambda metrics, step: None)
+        self.validators = validators or {}
+        self.tx, self.schedule = make_optimizer(
+            cfg.lr, cfg.num_steps, cfg.wdecay, cfg.epsilon, cfg.clip)
+        self._step_fn = None
+
+    def init_state(self, sample_shape) -> TrainState:
+        B, H, W, C = sample_shape
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        dummy = jnp.zeros((1, H, W, C), jnp.float32)
+        variables = self.model.init(rng, dummy, dummy, iters=1)
+        if self.cfg.restore_ckpt:
+            variables = self._restore(variables)
+        return TrainState.create(variables, self.tx)
+
+    def _restore(self, template):
+        """Restore weights: native Orbax dir, exact .pth, or FlyingThings
+        graft — the reference's try/except restore chain
+        (train_flow.py:99-104)."""
+        path = self.cfg.restore_ckpt
+        if os.path.isdir(path):
+            from ..checkpoint.orbax_io import restore_variables
+            return restore_variables(path, template)
+        from ..checkpoint.convert import (convert_state_dict,
+                                          convert_things_ckpt, load_pth)
+        sd = load_pth(path)
+        try:
+            return convert_state_dict(sd, template=template)
+        except ValueError:
+            return convert_things_ckpt(sd, template)
+
+    def compile_step(self, state, batch):
+        step_fn = make_train_step(self.model, self.tx, iters=self.cfg.iters,
+                                  gamma=self.cfg.gamma,
+                                  add_noise=self.cfg.add_noise)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+            rep = replicated(self.mesh)
+            bsh = batch_sharding(self.mesh)
+            self._step_fn = jax.jit(
+                step_fn,
+                in_shardings=(rep, (bsh, bsh, bsh, bsh), rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        else:
+            self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        return self._step_fn
+
+    def run(self, train_loader, state: Optional[TrainState] = None):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        it = train_loader.infinite()
+        first = next(it)
+        if state is None:
+            state = self.init_state(first[0].shape)
+
+        step_fn = self.compile_step(state, first)
+        total_steps = 0
+        batch = first
+        t_last = time.perf_counter()
+        while total_steps <= cfg.num_steps:
+            rng, step_rng = jax.random.split(rng)
+            arrays = tuple(jnp.asarray(x) for x in batch[:4])
+            state, metrics = step_fn(state, arrays, step_rng)
+
+            if (total_steps % 100) == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                t_now = time.perf_counter()
+                host["train/steps_per_sec"] = 100.0 / max(t_now - t_last, 1e-9)
+                host["train/learning_rate"] = float(self.schedule(total_steps))
+                t_last = t_now
+                self.logger(host, total_steps)
+
+            if total_steps % cfg.val_freq == cfg.val_freq - 1:
+                self.save(state, total_steps + 1)
+                results = {}
+                for name, validator in self.validators.items():
+                    if name in cfg.validation:
+                        results.update(validator(self.model, state.variables))
+                if results:
+                    self.logger(results, total_steps)
+
+            total_steps += 1
+            if total_steps > cfg.num_steps:
+                break
+            batch = next(it)
+
+        self.save(state, "final")
+        return state
+
+    def save(self, state: TrainState, tag):
+        from ..checkpoint.orbax_io import save_train_state
+        path = os.path.join(os.path.abspath(self.cfg.save_path), str(tag))
+        save_train_state(path, state)
+        return path

@@ -1,0 +1,118 @@
+"""Correlation volume / pyramid / DCCL / groupwise-corr unit tests against
+naive numpy implementations (SURVEY.md §4 plan, item 2)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from prior_flow_tpu.ops import corr as C
+from prior_flow_tpu.ops.samplers import cycle_bilinear_sample
+
+
+class TestAllPairs:
+    def test_matches_naive(self, rng):
+        B, H, W, ch = 2, 4, 6, 8
+        f1 = rng.normal(size=(B, H, W, ch)).astype(np.float32)
+        f2 = rng.normal(size=(B, H, W, ch)).astype(np.float32)
+        vol = np.asarray(C.all_pairs_correlation(jnp.asarray(f1), jnp.asarray(f2)))
+        naive = np.einsum("bxc,byc->bxy", f1.reshape(B, -1, ch),
+                          f2.reshape(B, -1, ch)) / np.sqrt(ch)
+        np.testing.assert_allclose(vol.reshape(B, H * W, H * W),
+                                   naive, atol=1e-5)
+
+    def test_scale_factor(self, rng):
+        f = np.ones((1, 2, 2, 16), np.float32)
+        vol = np.asarray(C.all_pairs_correlation(jnp.asarray(f), jnp.asarray(f)))
+        np.testing.assert_allclose(vol, 16 / 4.0)
+
+
+class TestPyramid:
+    def test_avg_pool(self, rng):
+        x = rng.normal(size=(1, 3, 8, 12)).astype(np.float32)
+        p = np.asarray(C.avg_pool2(jnp.asarray(x)))
+        expected = x.reshape(1, 3, 4, 2, 6, 2).mean(axis=(3, 5))
+        np.testing.assert_allclose(p, expected, atol=1e-6)
+
+    def test_levels(self, rng):
+        vol = jnp.asarray(rng.normal(size=(1, 5, 16, 32)).astype(np.float32))
+        pyr = C.build_pyramid(vol, num_levels=4)
+        assert [p.shape for p in pyr] == [
+            (1, 5, 16, 32), (1, 5, 8, 16), (1, 5, 4, 8), (1, 5, 2, 4)]
+
+
+class TestWindowDelta:
+    def test_reference_tap_ordering(self):
+        """Tap k = i*(2r+1)+j must carry x-offset i-r and y-offset j-r
+        (reference meshgrid(dy, dx) quirk, core/corr.py:120-126)."""
+        d = C._window_delta(4)
+        assert d.shape == (81, 2)
+        for k in range(81):
+            i, j = divmod(k, 9)
+            assert d[k, 0] == i - 4  # x offset
+            assert d[k, 1] == j - 4  # y offset
+
+
+class TestSampleVolumeLevel:
+    def test_matches_flat_sampler(self, rng):
+        B, Q, Hl, Wl, K = 2, 5, 8, 16, 7
+        vol = rng.normal(size=(B, Q, Hl, Wl)).astype(np.float32)
+        coords = np.stack([rng.uniform(-4, 20, (B, Q, K)),
+                           rng.uniform(-2, 10, (B, Q, K))], -1).astype(np.float32)
+        out = np.asarray(C.sample_volume_level(jnp.asarray(vol), jnp.asarray(coords)))
+        ref = np.asarray(cycle_bilinear_sample(
+            jnp.asarray(vol.reshape(B * Q, Hl, Wl, 1)),
+            jnp.asarray(coords.reshape(B * Q, K, 2)))).reshape(B, Q, K)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestGroupwiseCorr:
+    def test_matches_naive(self, rng):
+        B, H, W, ch, G = 2, 4, 6, 16, 4
+        f1 = rng.normal(size=(B, H, W, ch)).astype(np.float32)
+        f2 = rng.normal(size=(B, H, W, ch)).astype(np.float32)
+        out = np.asarray(C.groupwise_corr(jnp.asarray(f1), jnp.asarray(f2), G))
+        naive = (f1 * f2).reshape(B, H, W, G, ch // G).mean(-1)
+        np.testing.assert_allclose(out, naive, atol=1e-6)
+
+
+class TestDCCL:
+    def test_identity_coords_own_lookup_center_tap(self, rng):
+        """With identity coords the centre tap of the level-0 own lookup is
+        the diagonal of the cost volume."""
+        B, h, w = 1, 8, 16
+        Q = h * w
+        vol = rng.normal(size=(B, Q, h, w)).astype(np.float32)
+        pyr = C.build_pyramid(jnp.asarray(vol), 4)
+        gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        coords = np.stack([gx, gy], -1)[None]
+        ident = np.zeros((h, w, 2), np.float32)
+        ident[..., 0] = gx
+        ident[..., 1] = gy
+        grid = jnp.asarray(ident)  # identity rotation grid stand-in
+        dccl = C.DCCL(num_levels=4, radius=4)
+        own, cross = dccl(jnp.asarray(coords), pyr, pyr, grid, grid)
+        assert own.shape == (B, h, w, 4 * 81)
+        # centre tap index = 4*9+4 = 40 at level 0
+        center = np.asarray(own)[0, :, :, 40]
+        diag = vol[0, np.arange(Q), :, :].reshape(Q, h * w)[np.arange(Q),
+                                                            np.arange(Q)]
+        np.testing.assert_allclose(center, diag.reshape(h, w), atol=1e-5)
+
+    def test_output_is_finite_and_shaped(self, rng):
+        B, h, w = 2, 8, 16
+        Q = h * w
+        volA = rng.normal(size=(B, Q, h, w)).astype(np.float32)
+        volB = rng.normal(size=(B, Q, h, w)).astype(np.float32)
+        pyrA = C.build_pyramid(jnp.asarray(volA), 4)
+        pyrB = C.build_pyramid(jnp.asarray(volB), 4)
+        from prior_flow_tpu.geometry import grids
+        g = grids.rotation_grids(h * 8, w * 8)
+        coords = jnp.asarray(
+            grids.identity_grid(h, w)[None] +
+            rng.normal(size=(B, h, w, 2)).astype(np.float32) * 3)
+        dccl = C.DCCL()
+        own, cross = dccl(coords, pyrA, pyrB,
+                          jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_8))
+        assert own.shape == cross.shape == (B, h, w, 324)
+        assert np.isfinite(np.asarray(own)).all()
+        assert np.isfinite(np.asarray(cross)).all()

@@ -1,0 +1,96 @@
+"""Model-level smoke tests (the reference's demo.py contract) + convex
+upsampling unit test."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prior_flow_tpu.models import PriOrRAFT
+from prior_flow_tpu.models.prior_raft import upsample_flow_convex
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = PriOrRAFT()
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.uniform(rng, (1, 64, 128, 3)) * 255
+    variables = model.init(rng, img, img, iters=1)
+    return model, variables
+
+
+class TestForward:
+    def test_demo_contract(self, small_model):
+        """Random pair in, (B, H, W, 2) out — the reference demo.py:15-21
+        smoke test at reduced resolution."""
+        model, variables = small_model
+        rng = jax.random.PRNGKey(1)
+        img1 = jax.random.uniform(rng, (1, 64, 128, 3)) * 255
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (1, 64, 128, 3)) * 255
+        flow = model.apply(variables, img1, img2, iters=4, test_mode=True)
+        assert flow.shape == (1, 64, 128, 2)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_training_mode_returns_both_branches(self, small_model):
+        model, variables = small_model
+        img = jnp.ones((1, 64, 128, 3)) * 128
+        pa, pb = model.apply(variables, img, img, iters=3)
+        assert pa.shape == (3, 1, 64, 128, 2)
+        assert pb.shape == (3, 1, 64, 128, 2)
+
+    def test_identical_images_give_small_flow(self, small_model):
+        """With image1 == image2 the zero-flow hypothesis maximises
+        correlation; even untrained, predictions stay bounded and finite."""
+        model, variables = small_model
+        rng = jax.random.PRNGKey(3)
+        img = jax.random.uniform(rng, (1, 64, 128, 3)) * 255
+        flow = model.apply(variables, img, img, iters=4, test_mode=True)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_init_flow_warm_start(self, small_model):
+        model, variables = small_model
+        rng = jax.random.PRNGKey(4)
+        img1 = jax.random.uniform(rng, (1, 64, 128, 3)) * 255
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 2), (1, 64, 128, 3)) * 255
+        init = jnp.ones((1, 8, 16, 2)) * 0.5
+        f0 = model.apply(variables, img1, img2, iters=2, test_mode=True)
+        f1 = model.apply(variables, img1, img2, iters=2, init_flow=init,
+                         test_mode=True)
+        assert not np.allclose(np.asarray(f0), np.asarray(f1))
+
+    def test_batch_dimension(self, small_model):
+        model, variables = small_model
+        rng = jax.random.PRNGKey(5)
+        img1 = jax.random.uniform(rng, (2, 64, 128, 3)) * 255
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 64, 128, 3)) * 255
+        flow = model.apply(variables, img1, img2, iters=2, test_mode=True)
+        assert flow.shape == (2, 64, 128, 2)
+        # batch elements are independent
+        f0 = model.apply(variables, img1[:1], img2[:1], iters=2, test_mode=True)
+        np.testing.assert_allclose(np.asarray(flow[0]), np.asarray(f0[0]),
+                                   atol=1e-4)
+
+
+class TestConvexUpsample:
+    def test_uniform_mask_is_interpolation(self):
+        """With a uniform mask, each output pixel is the mean of the 9
+        in-bounds neighbours of 8x the coarse flow."""
+        B, h, w = 1, 4, 6
+        flow = jnp.ones((B, h, w, 2)) * 2.0
+        mask = jnp.zeros((B, h, w, 576))
+        up = upsample_flow_convex(flow, mask)
+        assert up.shape == (B, 8 * h, 8 * w, 2)
+        # interior blocks (all 9 neighbours = 16) give exactly 16
+        inner = np.asarray(up)[0, 8:-8, 8:-8]
+        np.testing.assert_allclose(inner, 16.0, atol=1e-5)
+
+    def test_one_hot_mask_selects_neighbour(self):
+        B, h, w = 1, 3, 3
+        flow = jnp.asarray(
+            np.arange(B * h * w * 2, dtype=np.float32).reshape(B, h, w, 2))
+        mask = np.full((B, h, w, 9, 8, 8), -1e9, np.float32)
+        mask[:, :, :, 4] = 0.0  # centre tap one-hot after softmax
+        up = upsample_flow_convex(flow, jnp.asarray(mask.reshape(B, h, w, 576)))
+        expected = np.repeat(np.repeat(np.asarray(8.0 * flow), 8, 1), 8, 2)
+        np.testing.assert_allclose(np.asarray(up), expected, atol=1e-4)

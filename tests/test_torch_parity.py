@@ -1,0 +1,170 @@
+"""Golden numerical-parity tests against the actual reference implementation.
+
+These tests import the PUBLIC reference code from /root/reference (read-only)
+purely as a *test oracle*: a randomly-initialised reference PriOr_RAFT runs
+on CPU (with .cuda() no-op-patched and a timm stub), its state_dict is pushed
+through our checkpoint converter, and our Flax model must reproduce the same
+flow field. This is the strongest possible check that converted *released*
+checkpoints will reproduce reference EPE (SURVEY.md §4 plan, item 3).
+
+Skipped automatically when the reference tree is unavailable.
+"""
+
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/PriOr-RAFT"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    torch = pytest.importorskip("torch")
+
+    # stub out unused-but-imported deps and force CPU execution
+    if "timm" not in sys.modules:
+        sys.modules["timm"] = types.ModuleType("timm")
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        oc.OmegaConf = object
+        oc.ListConfig = list
+        sys.modules["omegaconf"] = oc
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import core.prior_raft as ref_prior_raft  # noqa: E402
+    import core.utils.projection_prim_ortho as ref_proj  # noqa: E402
+    from core.utils import my_cycle_sample as ref_cycle  # noqa: E402
+
+    return SimpleNamespace(torch=torch, prior_raft=ref_prior_raft,
+                           proj=ref_proj, cycle=ref_cycle)
+
+
+@pytest.fixture(scope="module")
+def torch_model(ref_modules):
+    torch = ref_modules.torch
+    torch.manual_seed(1234)
+    args = SimpleNamespace(dropout=0.0, mixed_precision=False)
+    model = ref_modules.prior_raft.PriOr_RAFT(args)
+    model.eval()
+    return model
+
+
+H, W = 128, 256  # smallest size where the reference's own level-3 pyramid
+# is >1px tall (at 64x128 the reference NaNs: corr.py samples a 1x2 level
+# image and divides by H-1=0 in its grid normalisation)
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+class TestGridParity:
+    def test_sample_grid_matches_reference(self, ref_modules):
+        """Our host-side rotation grids == the reference's on-device grids."""
+        import math
+        from prior_flow_tpu.geometry import rotation
+
+        torch = ref_modules.torch
+        R_ref = ref_modules.proj.generate_rotation_metrix(
+            theta_list=[0., 0., -math.pi / 2])
+        grid_ref = ref_modules.proj.generate_samplegrid(
+            [1, 3, H, W], R_ref)  # (1, 2, H, W)
+        R = rotation.rotation_matrix([0., 0., -math.pi / 2])
+        np.testing.assert_allclose(R, _np(R_ref), atol=1e-6)
+        ours = rotation.make_sample_grid(H, W, R)  # (H, W, 2)
+        ref = np.transpose(_np(grid_ref)[0], (1, 2, 0))
+        # compare x modulo W (wrap-equivalent coordinates)
+        dx = (ours[..., 0] - ref[..., 0] + W / 2) % W - W / 2
+        assert np.abs(dx).max() < 2e-3
+        assert np.abs(ours[..., 1] - ref[..., 1]).max() < 2e-3
+
+    def test_flo_rotate_matches_reference(self, ref_modules, rng):
+        import jax.numpy as jnp
+        from prior_flow_tpu.geometry import grids
+        from prior_flow_tpu.ops import warp
+
+        torch = ref_modules.torch
+        flow = rng.normal(size=(1, H, W, 2)).astype(np.float32) * 5.0
+        flow_t = torch.from_numpy(np.transpose(flow, (0, 3, 1, 2)))
+        ref = _np(ref_modules.proj.flo_A2B(flow_t))
+        ours = np.asarray(warp.flo_a2b(jnp.asarray(flow)))
+        ref = np.transpose(ref, (0, 2, 3, 1))
+        err = np.abs(ours - ref)
+        # tiny grid-precision differences can flip a gather cell at pixels
+        # whose source coordinate is near an integer boundary; require
+        # agreement everywhere but a vanishing fraction of pixels.
+        assert np.quantile(err, 0.999) < 1e-2
+        assert np.median(err) < 1e-3
+
+
+class TestModelParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        rng = np.random.default_rng(7)
+        img1 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+        img2 = rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32)
+        return img1, img2
+
+    def test_full_forward_parity(self, ref_modules, torch_model, pair):
+        import jax
+        import jax.numpy as jnp
+        from prior_flow_tpu.checkpoint import convert_state_dict
+        from prior_flow_tpu.models import PriOrRAFT
+
+        torch = ref_modules.torch
+        img1, img2 = pair
+        t1 = torch.from_numpy(np.transpose(img1, (0, 3, 1, 2)))
+        t2 = torch.from_numpy(np.transpose(img2, (0, 3, 1, 2)))
+        with torch.no_grad():
+            ref_flow = _np(torch_model(t1, t2, iters=3, test_mode=True))
+        ref_flow = np.transpose(ref_flow, (0, 2, 3, 1))
+
+        model = PriOrRAFT(precision="highest")
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.asarray(img1), jnp.asarray(img2), iters=1)
+        variables = convert_state_dict(torch_model.state_dict(),
+                                       template=template)
+        ours = np.asarray(model.apply(
+            variables, jnp.asarray(img1), jnp.asarray(img2),
+            iters=3, test_mode=True))
+
+        err = np.abs(ours - ref_flow)
+        scale = np.abs(ref_flow).max() + 1e-6
+        assert err.max() / scale < 0.02, (
+            f"max err {err.max():.4g} vs flow scale {scale:.4g}")
+        assert np.median(err) < 1e-3 * scale + 1e-4
+
+    def test_training_mode_predictions_parity(self, ref_modules, torch_model, pair):
+        import jax
+        import jax.numpy as jnp
+        from prior_flow_tpu.checkpoint import convert_state_dict
+        from prior_flow_tpu.models import PriOrRAFT
+
+        torch = ref_modules.torch
+        img1, img2 = pair
+        t1 = torch.from_numpy(np.transpose(img1, (0, 3, 1, 2)))
+        t2 = torch.from_numpy(np.transpose(img2, (0, 3, 1, 2)))
+        with torch.no_grad():
+            preds_A, preds_B = torch_model(t1, t2, iters=2)
+        model = PriOrRAFT(precision="highest")
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.asarray(img1), jnp.asarray(img2), iters=1)
+        variables = convert_state_dict(torch_model.state_dict(),
+                                       template=template)
+        ours_A, ours_B = model.apply(
+            variables, jnp.asarray(img1), jnp.asarray(img2), iters=2)
+        for i in range(2):
+            for ref_t, ours in ((preds_A[i], ours_A[i]), (preds_B[i], ours_B[i])):
+                ref = np.transpose(_np(ref_t), (0, 2, 3, 1))
+                scale = np.abs(ref).max() + 1e-6
+                assert np.abs(np.asarray(ours) - ref).max() / scale < 0.02
