@@ -35,15 +35,17 @@ def main():
     img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (1, H, W, 3)) * 255.0
     variables = model.init(rng, img1, img2, iters=1)
 
+    # reduce on device, fetch the scalar: forces real completion even through
+    # async device tunnels where block_until_ready returns early
     fwd = jax.jit(lambda v, a, b: model.apply(v, a, b, iters=ITERS,
-                                              test_mode=True))
+                                              test_mode=True).sum())
     for _ in range(WARMUP):
-        fwd(variables, img1, img2).block_until_ready()
+        float(fwd(variables, img1, img2))
 
     t0 = time.perf_counter()
     for _ in range(RUNS):
         out = fwd(variables, img1, img2)
-    out.block_until_ready()
+    _ = float(out)
     dt = (time.perf_counter() - t0) / RUNS
 
     fps = 1.0 / dt

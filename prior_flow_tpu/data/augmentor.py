@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import native
+
 try:
     import cv2
     cv2.setNumThreads(0)
@@ -72,13 +74,13 @@ def _eraser(img1, img2, bounds, prob, rng):
     (reference augmentor.py:47-58)."""
     ht, wd = img1.shape[:2]
     if rng.rand() < prob:
-        mean_color = np.mean(img2.reshape(-1, 3), axis=0)
+        mean_color = native.mean_color(img2)
         for _ in range(rng.randint(1, 3)):
             x0 = rng.randint(0, wd)
             y0 = rng.randint(0, ht)
             dx = rng.randint(bounds[0], bounds[1])
             dy = rng.randint(bounds[0], bounds[1])
-            img2[y0:y0 + dy, x0:x0 + dx, :] = mean_color
+            native.erase_rect(img2, x0, y0, dx, dy, mean_color)
     return img1, img2
 
 
@@ -137,15 +139,14 @@ class FlowAugmentor360:
         if self.rng.rand() < self.asymmetric_rotation_aug_prob:
             k1 = self.rng.randint(-max_px, max_px)
             k2 = self.rng.randint(-max_px, max_px)
-            img1 = np.roll(img1, k1, axis=1)
-            flow = np.roll(flow, k1, axis=1)
-            img2 = np.roll(img2, k2, axis=1)
-            flow = flow.copy()
+            img1 = native.roll(img1, k1)
+            flow = native.roll(flow, k1).copy()
+            img2 = native.roll(img2, k2)
             flow[:, :, 0] = u_clip_np(flow[:, :, 0] + k2 - k1, wd)
             return img1, img2, flow
         k = self.rng.randint(-max_px, max_px)
-        return (np.roll(img1, k, axis=1), np.roll(img2, k, axis=1),
-                np.roll(flow, k, axis=1))
+        return (native.roll(img1, k), native.roll(img2, k),
+                native.roll(flow, k))
 
     def flip_transform(self, img1, img2, flow):
         if self.do_flip:

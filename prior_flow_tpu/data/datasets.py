@@ -77,14 +77,21 @@ class FlowDataset:
         valid = None
         if self.sparse:
             flow, valid = frame_utils.read_flow_kitti(self.flow_list[index])
+            flow = np.array(flow).astype(np.float32)
+            if self.wrap_u:
+                _, W, _ = flow.shape
+                flow[:, :, 0] = (flow[:, :, 0] + W / 2) % W - W / 2
+        elif self.flow_list[index].endswith(".flo"):
+            # native decode with fused u-wrap when the C++ library is built
+            from . import native
+            flow = native.read_flo(self.flow_list[index], wrap_u=self.wrap_u)
         else:
-            flow = frame_utils.read_gen(self.flow_list[index])
-        flow = np.array(flow).astype(np.float32)
+            flow = np.array(
+                frame_utils.read_gen(self.flow_list[index])).astype(np.float32)
+            if self.wrap_u:
+                _, W, _ = flow.shape
+                flow[:, :, 0] = (flow[:, :, 0] + W / 2) % W - W / 2
         img1, img2 = self._read_images(index)
-
-        if self.wrap_u:
-            _, W, _ = flow.shape
-            flow[:, :, 0] = (flow[:, :, 0] + W / 2) % W - W / 2
 
         if self.augmentor is not None:
             if self.sparse:

@@ -91,6 +91,8 @@ class PriOrRAFT(nn.Module):
     # XLA matmul/conv precision: None = backend default (fastest on TPU),
     # 'highest' = full fp32 accumulation (checkpoint-parity mode).
     precision: Optional[str] = None
+    # DCCL lookup implementation: 'mxu' (one-hot matmuls) or 'gather'.
+    lookup_mode: str = "mxu"
 
     def setup(self):
         dtype = jnp.bfloat16 if self.mixed_precision else None
@@ -102,7 +104,9 @@ class PriOrRAFT(nn.Module):
                                  dtype=dtype)
         self.ODDC = BasicMultiUpdateBlock(hidden_dim=self.hidden_dim, dtype=dtype)
         self.update_block = BasicUpdateBlock(hidden_dim=self.hidden_dim, dtype=dtype)
-        self._dccl = DCCL(num_levels=self.corr_levels, radius=self.corr_radius)
+        self._dccl = DCCL(num_levels=self.corr_levels,
+                          radius=self.corr_radius,
+                          lookup_mode=self.lookup_mode)
 
     # -- one GRU iteration (reference core/prior_raft.py:170-211) ----------
     def _step(self, carry, consts: StepConsts):
@@ -180,11 +184,15 @@ class PriOrRAFT(nn.Module):
         fmaps = self.fnet([image1_A, image2_A, image1_B, image2_B], train=train)
         fmap1_A, fmap2_A, fmap1_B, fmap2_B = [f.astype(jnp.float32) for f in fmaps]
 
-        # all-pairs cost volumes + pyramids (prior_raft.py:151-159)
-        pyr_A = tuple(build_pyramid(all_pairs_correlation(fmap1_A, fmap2_A),
-                                    self.corr_levels))
-        pyr_B = tuple(build_pyramid(all_pairs_correlation(fmap1_B, fmap2_B),
-                                    self.corr_levels))
+        # all-pairs cost volumes + pyramids (prior_raft.py:151-159).
+        # With mixed precision the pyramid is STORED in bf16 (halved HBM
+        # traffic for every per-iteration lookup) while lookups accumulate
+        # in f32; full-precision mode keeps f32 storage for parity.
+        corr_dtype = jnp.bfloat16 if self.mixed_precision else jnp.float32
+        pyr_A = tuple(p.astype(corr_dtype) for p in build_pyramid(
+            all_pairs_correlation(fmap1_A, fmap2_A), self.corr_levels))
+        pyr_B = tuple(p.astype(corr_dtype) for p in build_pyramid(
+            all_pairs_correlation(fmap1_B, fmap2_B), self.corr_levels))
 
         # flow initialisation (prior_raft.py:161-165)
         h8, w8 = H // 8, W // 8

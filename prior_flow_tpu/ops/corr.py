@@ -88,6 +88,79 @@ def _window_delta(radius: int) -> np.ndarray:
     return np.stack([dx_for_x, dy_for_y], axis=-1)  # (K, 2)
 
 
+def _window_weights(centers, extent, radius, wrap: bool):
+    """Separable one-hot bilinear weight matrices for a (2r+1)-tap window.
+
+    For a 1-D coordinate ``t`` and tap offset d in [-r, r], the
+    cycle_bilinear_sampler semantics are: t_d = (t + d) mod extent (wrap) or
+    t + d (no wrap); corners floor(t_d) and floor(t_d)+1 with weights
+    (1-frac, frac); a corner outside [0, extent-1] contributes zero — note
+    floor(t_d)+1 == extent is ZERO, not wrapped (the seam quirk of
+    core/utils/utils.py:78-95).
+
+    centers: (..., ) float coords. Returns (..., 2r+1, extent) weights W with
+    out[tap] = sum_c W[tap, c] * V[c] — turning the windowed bilinear gather
+    into a dense (MXU-friendly) contraction.
+    """
+    n = 2 * radius + 1
+    t = centers
+    if wrap:
+        t = t % extent
+    t0 = jnp.floor(t)
+    frac = (t - t0)[..., None, None]                      # (..., 1, 1)
+    d = jnp.arange(n, dtype=jnp.float32) - radius          # (n,)
+    base = t0[..., None] + d                               # (..., n)
+    if wrap:
+        base = base % extent
+    cols = jax.lax.broadcasted_iota(jnp.float32, (n, extent), 1)  # (n, extent)
+    base = base[..., None]                                 # (..., n, 1)
+    w = (jnp.where(cols == base, 1.0 - frac, 0.0) +
+         jnp.where(cols == base + 1.0, frac, 0.0))
+    return w
+
+
+def lookup_window_mxu(vol_l, coords, radius: int):
+    """Own-branch DCCL window lookup as two batched matmuls (no gathers).
+
+    vol_l: (B, Q, Hl, Wl); coords: (B, Q, 2) level-scaled window centres.
+    Returns (B, Q, K) with the reference tap ordering k = i*(2r+1)+j,
+    x-offset i-r / y-offset j-r (core/corr.py:120-126). Numerically
+    equivalent to ``sample_volume_level`` at the window coords; expressed as
+    one-hot contractions so the work lands on the MXU instead of scattered
+    VPU gathers.
+    """
+    B, Q, Hl, Wl = vol_l.shape
+    n = 2 * radius + 1
+    # weights follow the volume's storage dtype (bf16 fast mode halves HBM
+    # traffic and doubles MXU rate; accumulation stays f32)
+    wy = _window_weights(coords[..., 1], Hl, radius, wrap=False
+                         ).astype(vol_l.dtype)  # (B,Q,n,Hl)
+    wx = _window_weights(coords[..., 0], Wl, radius, wrap=True
+                         ).astype(vol_l.dtype)  # (B,Q,n,Wl)
+    tmp = jnp.einsum("bqjr,bqrc->bqjc", wy, vol_l,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("bqjc,bqic->bqij", tmp.astype(vol_l.dtype), wx,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, Q, n * n)
+
+
+def sample_image_window_mxu(img, coords, radius: int):
+    """Window lookup into a SHARED image (B, H, W, C) at per-query window
+    centres (B, Q, 2) -> (B, Q, K, C). Same semantics as sampling
+    ``coords + delta`` with cycle_bilinear_sample; used for the cross-view
+    rotation-grid lookup inside DCCL (core/corr.py:132-133)."""
+    B, H, W, C = img.shape
+    Q = coords.shape[1]
+    n = 2 * radius + 1
+    wy = _window_weights(coords[..., 1], H, radius, wrap=False)  # (B,Q,n,H)
+    wx = _window_weights(coords[..., 0], W, radius, wrap=True)   # (B,Q,n,W)
+    tmp = jnp.einsum("bqjr,brcd->bqjcd", wy, img,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("bqjcd,bqic->bqijd", tmp, wx,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, Q, n * n, C)
+
+
 def sample_volume_level(vol_l, coords):
     """Bilinear wrap-x sample of a per-query level volume.
 
@@ -102,6 +175,33 @@ def sample_volume_level(vol_l, coords):
     return out.reshape(B, Q, K)
 
 
+def sample_volume_level_mxu(vol_l, coords, tap_chunk: int = 27):
+    """``sample_volume_level`` for ARBITRARY per-tap coords as one-hot
+    contractions (TPU fast path: MXU work instead of per-scalar gathers).
+
+    Unlike ``lookup_window_mxu`` the K taps here are independent coords (the
+    cross-view rotated window, core/corr.py:132-136), so each tap gets its
+    own (degenerate, radius-0) weight row over rows and columns. Chunked
+    over taps to bound the (B, Q, K, Hl) intermediate.
+    """
+    B, Q, Hl, Wl = vol_l.shape
+    K = coords.shape[2]
+    outs = []
+    for k0 in range(0, K, tap_chunk):
+        c = coords[:, :, k0:k0 + tap_chunk, :]  # (B, Q, k, 2)
+        wy = _window_weights(c[..., 1], Hl, 0, wrap=False
+                             )[..., 0, :].astype(vol_l.dtype)  # (B,Q,k,Hl)
+        wx = _window_weights(c[..., 0], Wl, 0, wrap=True
+                             )[..., 0, :].astype(vol_l.dtype)  # (B,Q,k,Wl)
+        # contract columns first: the (B, Q, k, Hl) intermediate is the
+        # smaller one (Hl <= Wl for ERP volumes)
+        tmp = jnp.einsum("bqkc,bqrc->bqkr", wx, vol_l,
+                         preferred_element_type=jnp.float32)
+        outs.append(jnp.einsum("bqkr,bqkr->bqk", tmp.astype(vol_l.dtype), wy,
+                               preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=-1)
+
+
 class DCCL:
     """Dual-Cost Collaborative Lookup (functional, stateless).
 
@@ -113,9 +213,18 @@ class DCCL:
     Returns ``(own, cross)`` each (B, h1, w1, L*(2r+1)^2) float32.
     """
 
-    def __init__(self, num_levels: int = 4, radius: int = 4):
+    def __init__(self, num_levels: int = 4, radius: int = 4,
+                 lookup_mode: str = "mxu"):
+        """lookup_mode:
+        - 'mxu'    — windowed lookups as dense one-hot matmuls (fast TPU
+                     path; numerically equivalent to 'gather');
+        - 'gather' — take_along_axis gathers mirroring the reference's
+                     grid_sample chain call-for-call (parity/debug path).
+        """
+        assert lookup_mode in ("mxu", "gather")
         self.num_levels = num_levels
         self.radius = radius
+        self.lookup_mode = lookup_mode
         self._delta = _window_delta(radius)  # (K, 2)
 
     def __call__(self, coords, pyr_own: Sequence, pyr_other: Sequence,
@@ -133,18 +242,28 @@ class DCCL:
             grid_back_8 = jnp.broadcast_to(
                 jnp.asarray(grid_back_8), (B,) + grid_back_8.shape)
 
+        mxu = self.lookup_mode == "mxu"
         own_out, cross_out = [], []
         for i in range(self.num_levels):
-            coords_lvl = cq / (2.0 ** i) + delta  # (B, Q, K, 2)
+            centers = cq[:, :, 0, :] / (2.0 ** i)  # (B, Q, 2)
+            coords_lvl = centers[:, :, None, :] + delta  # (B, Q, K, 2)
 
-            own = sample_volume_level(pyr_own[i], coords_lvl)
+            if mxu:
+                own = lookup_window_mxu(pyr_own[i], centers, self.radius)
+            else:
+                own = sample_volume_level(pyr_own[i], coords_lvl)
             own_out.append(own.reshape(B, h1, w1, K))
 
             # Map the window coords into the other branch's frame by sampling
             # the (1/8-res) rotation grid at the (level-scaled!) coords —
             # reference core/corr.py:132-133, unscaled-by-design for i > 0.
-            coords_other = cycle_bilinear_sample(grid_w2c_8, coords_lvl)
-            cross = sample_volume_level(pyr_other[i], coords_other)
+            if mxu:
+                coords_other = sample_image_window_mxu(
+                    grid_w2c_8, centers, self.radius)
+                cross = sample_volume_level_mxu(pyr_other[i], coords_other)
+            else:
+                coords_other = cycle_bilinear_sample(grid_w2c_8, coords_lvl)
+                cross = sample_volume_level(pyr_other[i], coords_other)
             # Rotate the result field back into the query frame
             # (img_rotate with the 1/8 back grid, core/corr.py:137-139).
             cross_img = cross.reshape(B, h1, w1, K)

@@ -8,13 +8,21 @@ import os
 import sys
 
 # The shell env pins JAX_PLATFORMS=axon (the tunneled TPU). Tests must run
-# on the virtual CPU mesh: override unconditionally, before jax imports.
+# on the virtual CPU mesh: override unconditionally. The env var alone is
+# NOT enough — importing pytest already imports jax (plugin discovery), so
+# jax's config snapshot predates this file; update the live config too.
+# This works as long as no backend has been initialised yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

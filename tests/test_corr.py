@@ -116,3 +116,37 @@ class TestDCCL:
         assert own.shape == cross.shape == (B, h, w, 324)
         assert np.isfinite(np.asarray(own)).all()
         assert np.isfinite(np.asarray(cross)).all()
+
+
+class TestMXULookupParity:
+    def test_mxu_equals_gather(self, rng):
+        """The MXU (one-hot matmul) DCCL path must match the gather path."""
+        import jax
+        from prior_flow_tpu.geometry import grids
+        B, h, w = 2, 8, 16
+        Q = h * w
+        volA = rng.normal(size=(B, Q, h, w)).astype(np.float32)
+        volB = rng.normal(size=(B, Q, h, w)).astype(np.float32)
+        pyrA = C.build_pyramid(jnp.asarray(volA), 4)
+        pyrB = C.build_pyramid(jnp.asarray(volB), 4)
+        g = grids.rotation_grids(h * 8, w * 8)
+        coords = jnp.asarray(grids.identity_grid(h, w)[None] +
+                             rng.normal(size=(B, h, w, 2)).astype(np.float32) * 5)
+        with jax.default_matmul_precision("highest"):
+            o1, c1 = C.DCCL(lookup_mode="gather")(
+                coords, pyrA, pyrB, jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_8))
+            o2, c2 = C.DCCL(lookup_mode="mxu")(
+                coords, pyrA, pyrB, jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_8))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=5e-5)
+
+    def test_sample_volume_level_mxu(self, rng):
+        import jax
+        B, Q, Hl, Wl, K = 2, 5, 8, 16, 13
+        vol = rng.normal(size=(B, Q, Hl, Wl)).astype(np.float32)
+        coords = np.stack([rng.uniform(-4, 20, (B, Q, K)),
+                           rng.uniform(-2, 10, (B, Q, K))], -1).astype(np.float32)
+        with jax.default_matmul_precision("highest"):
+            a = np.asarray(C.sample_volume_level(jnp.asarray(vol), jnp.asarray(coords)))
+            b = np.asarray(C.sample_volume_level_mxu(jnp.asarray(vol), jnp.asarray(coords), tap_chunk=5))
+        np.testing.assert_allclose(a, b, atol=5e-5)

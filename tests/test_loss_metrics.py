@@ -111,10 +111,12 @@ class TestPoleMask:
     def test_center_is_equator_of_B_view(self):
         H, W = 64, 128
         masks = M.region_masks(H, W)
-        # The B-view pole mask covers the A-frame region around the poles'
-        # images, i.e. roughly the same area fraction
+        # The Center region is the image of the polar caps in the rotated
+        # view: two 45-degree spherical caps ~= 29% of sphere area, whose
+        # ERP pixel fraction lands around 20% (they sit on the equator where
+        # ERP pixels cover the most area).
         frac = masks["Center"].mean()
-        assert 0.4 < frac < 0.6
+        assert 0.15 < frac < 0.35
 
     def test_polemask_d(self):
         pa, pd = M.generate_polemask_d(64, 128)

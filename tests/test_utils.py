@@ -49,14 +49,18 @@ class TestWarp:
         out = warp.cycle_warp(img, jnp.zeros((1, 16, 32, 2)))
         np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
 
-    def test_img_a2b_b2a_roundtrip(self, rng):
-        """Rotating to the orthogonal view and back reproduces the image away
-        from the poles (resampling loss concentrates at the poles)."""
-        img = jnp.asarray(rng.normal(size=(1, 64, 128, 3)).astype(np.float32))
-        back = warp.img_b2a(warp.img_a2b(img))
+    def test_img_a2b_b2a_roundtrip(self):
+        """Rotating to the orthogonal view and back reproduces a SMOOTH
+        image away from the poles (white noise does not survive double
+        bilinear resampling, so the probe must be band-limited)."""
+        gx, gy = np.meshgrid(np.linspace(0, 1, 128), np.linspace(0, 1, 64))
+        smooth = np.stack([np.sin(4 * np.pi * gx), np.cos(3 * np.pi * gy),
+                           gx * gy], -1).astype(np.float32)[None]
+        back = warp.img_b2a(warp.img_a2b(jnp.asarray(smooth)))
         mid = np.s_[:, 24:40, 8:-8, :]  # equatorial band
-        err = np.abs(np.asarray(back)[mid] - np.asarray(img)[mid])
-        assert np.median(err) < 0.25
+        err = np.abs(np.asarray(back)[mid] - smooth[mid])
+        assert np.median(err) < 0.005
+        assert err.max() < 0.05
 
     def test_flo_a2b_zero_flow(self):
         out = warp.flo_a2b(jnp.zeros((1, 64, 128, 2)))
