@@ -7,6 +7,8 @@ from .update import (
     ConvGRU,
     FlowHead,
     SepConvGRU,
+    SmallMotionEncoder,
+    SmallUpdateBlock,
 )
 
 __all__ = [
@@ -21,4 +23,6 @@ __all__ = [
     "ConvGRU",
     "FlowHead",
     "SepConvGRU",
+    "SmallMotionEncoder",
+    "SmallUpdateBlock",
 ]

@@ -79,6 +79,38 @@ class SepConvGRU(nn.Module):
         return (1 - z) * h + z * q
 
 
+class SmallMotionEncoder(nn.Module):
+    """Legacy small motion encoder (update.py:63-78)."""
+
+    corr_planes: int = 4 * 9 ** 2
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        cor = nn.relu(conv(96, 1, padding=0, name="convc1", dtype=self.dtype)(corr))
+        flo = nn.relu(conv(64, 7, padding=3, name="convf1", dtype=self.dtype)(flow))
+        flo = nn.relu(conv(32, 3, name="convf2", dtype=self.dtype)(flo))
+        out = nn.relu(conv(80, 3, name="conv", dtype=self.dtype)(
+            jnp.concatenate([cor, flo], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SmallUpdateBlock(nn.Module):
+    """Legacy small update block (update.py:102-114): plain ConvGRU, no
+    upsample mask."""
+
+    hidden_dim: int = 96
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = SmallMotionEncoder(dtype=self.dtype, name="encoder")(flow, corr)
+        x = jnp.concatenate([inp, motion], axis=-1)
+        net = ConvGRU(self.hidden_dim, dtype=self.dtype, name="gru")(net, x)
+        delta_flow = FlowHead(128, dtype=self.dtype, name="flow_head")(net)
+        return net, None, delta_flow
+
+
 class BasicMotionEncoder(nn.Module):
     """{corr, flow} -> 128-channel motion feature (update.py:81-99)."""
 

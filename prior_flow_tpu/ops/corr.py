@@ -218,10 +218,12 @@ class DCCL:
         """lookup_mode:
         - 'mxu'    — windowed lookups as dense one-hot matmuls (fast TPU
                      path; numerically equivalent to 'gather');
+        - 'pallas' — fused Pallas kernel: own+cross lookups per level from
+                     VMEM-resident volume slices (no HBM intermediates);
         - 'gather' — take_along_axis gathers mirroring the reference's
                      grid_sample chain call-for-call (parity/debug path).
         """
-        assert lookup_mode in ("mxu", "gather")
+        assert lookup_mode in ("mxu", "pallas", "gather")
         self.num_levels = num_levels
         self.radius = radius
         self.lookup_mode = lookup_mode
@@ -242,28 +244,34 @@ class DCCL:
             grid_back_8 = jnp.broadcast_to(
                 jnp.asarray(grid_back_8), (B,) + grid_back_8.shape)
 
-        mxu = self.lookup_mode == "mxu"
+        mode = self.lookup_mode
         own_out, cross_out = [], []
         for i in range(self.num_levels):
             centers = cq[:, :, 0, :] / (2.0 ** i)  # (B, Q, 2)
             coords_lvl = centers[:, :, None, :] + delta  # (B, Q, K, 2)
 
-            if mxu:
+            # Cross-view coords: map the window coords into the other
+            # branch's frame by sampling the (1/8-res) rotation grid at the
+            # (level-scaled!) coords — reference core/corr.py:132-133,
+            # unscaled-by-design for i > 0.
+            if mode == "pallas":
+                from .pallas.dccl_lookup import dccl_level_lookup_pallas
+                coords_other = sample_image_window_mxu(
+                    grid_w2c_8, centers, self.radius)
+                own, cross = dccl_level_lookup_pallas(
+                    pyr_own[i], pyr_other[i], cq[:, :, 0, :], coords_other,
+                    radius=self.radius, level_scale=1.0 / (2.0 ** i),
+                    interpret=jax.default_backend() != "tpu")
+            elif mode == "mxu":
                 own = lookup_window_mxu(pyr_own[i], centers, self.radius)
-            else:
-                own = sample_volume_level(pyr_own[i], coords_lvl)
-            own_out.append(own.reshape(B, h1, w1, K))
-
-            # Map the window coords into the other branch's frame by sampling
-            # the (1/8-res) rotation grid at the (level-scaled!) coords —
-            # reference core/corr.py:132-133, unscaled-by-design for i > 0.
-            if mxu:
                 coords_other = sample_image_window_mxu(
                     grid_w2c_8, centers, self.radius)
                 cross = sample_volume_level_mxu(pyr_other[i], coords_other)
             else:
+                own = sample_volume_level(pyr_own[i], coords_lvl)
                 coords_other = cycle_bilinear_sample(grid_w2c_8, coords_lvl)
                 cross = sample_volume_level(pyr_other[i], coords_other)
+            own_out.append(own.reshape(B, h1, w1, K))
             # Rotate the result field back into the query frame
             # (img_rotate with the 1/8 back grid, core/corr.py:137-139).
             cross_img = cross.reshape(B, h1, w1, K)
