@@ -112,6 +112,98 @@ def cycle_warp(image, flow):
     return cycle_grid_sample(image, grid)
 
 
+def img_rotate_theta(image, theta):
+    """Rotate an ERP image by an arbitrary x-axis Euler angle
+    (projection_prim_ortho.py:526-528)."""
+    H, W = image.shape[1], image.shape[2]
+    return img_rotate(image, grids.sample_grid(H, W, (0.0, 0.0, float(theta))))
+
+
+def flo_rotate_theta(flow, theta):
+    """Rotate an ERP flow field by an arbitrary x-axis Euler angle
+    (projection_prim_ortho.py:580-582)."""
+    H, W = flow.shape[1], flow.shape[2]
+    g_w2c = grids.sample_grid(H, W, (0.0, 0.0, float(theta)), transpose=True)
+    g_c2w = grids.sample_grid(H, W, (0.0, 0.0, float(theta)))
+    return flo_rotate(flow, g_w2c, g_c2w)
+
+
+def coord_a2b(coords):
+    """Absolute coordinate field A -> B (projection_prim_ortho.py:572-574)."""
+    H, W = coords.shape[1], coords.shape[2]
+    g = grids.rotation_grids(H, W)
+    return coord_rotate(coords, g.a2b_w2c, g.a2b)
+
+
+def coord_b2a(coords):
+    """Absolute coordinate field B -> A (projection_prim_ortho.py:576-578)."""
+    H, W = coords.shape[1], coords.shape[2]
+    g = grids.rotation_grids(H, W)
+    return coord_rotate(coords, g.b2a_w2c, g.b2a)
+
+
+def flow_to_camera(flow_world, R):
+    """Re-express a world-frame ERP flow field in a rotated camera frame via
+    per-pixel spherical angle differences (projection_prim_ortho.py:447-468).
+
+    flow_world: (B, H, W, 2); R: (3, 3) rotation (numpy). Unlike
+    ``flo_rotate`` this keeps the result on the WORLD pixel grid (the
+    angular deltas are converted back to pixel deltas with the linear
+    is_flow scaling and u-wrapped).
+    """
+    import numpy as np
+
+    from ..geometry import rotation as rot
+
+    B, H, W, _ = flow_world.shape
+    start = jnp.asarray(grids.identity_grid(H, W))[None]
+    end = erp.flow_to_endpoint(start, flow_world, H, W)
+    Rt = np.asarray(R).T
+
+    def to_cam(coords_px):
+        sph = erp.plane_to_spherical(coords_px, H, W)
+        cart = rot.spherical_to_cartesian(sph)
+        cart_c = rot.rotate_cartesian(cart, Rt)
+        return rot.cartesian_to_spherical(cart_c)
+
+    d_sph = to_cam(end) - to_cam(start)
+    d_px = erp.spherical_to_plane(d_sph, H, W, is_flow=True)
+    return jnp.stack([erp.u_clip(d_px[..., 0], W), d_px[..., 1]], axis=-1)
+
+
+def rotating_warping(src_feat, R, coords):
+    """Warp per-candidate features through a spherical rotation
+    (projection_prim_ortho.py:484-503): coords (B, N, H1, W1, 2) are lifted
+    to the sphere, rotated by ``R``, mapped back to src pixel coords, and
+    ``src_feat`` (B, H2, W2, C) is sampled with the masked wrap-x bilinear
+    sampler. Returns (B, N, H1, W1, C)."""
+    from ..geometry import rotation as rot
+    from .samplers import masked_bilinear_interpolate
+
+    B, H2, W2, C = src_feat.shape
+    Bc, N, H1, W1, _ = coords.shape
+    sph = erp.plane_to_spherical(coords, H1, W1)
+    cart = rot.rotate_cartesian(rot.spherical_to_cartesian(sph), R)
+    sph_r = rot.cartesian_to_spherical(cart)
+    px = erp.spherical_to_plane(sph_r, H2, W2)
+    out = masked_bilinear_interpolate(src_feat, px.reshape(B, N * H1, W1, 2))
+    return out.reshape(B, N, H1, W1, C)
+
+
+def legacy_warp(image, flow, cyclic=False):
+    """Standalone backward warp with a binarised validity mask
+    (core/utils/warp.py:5-98): grid = identity + flow, sampled with the
+    plain (or wrap-x) grid_sample; a resampled all-ones mask <0.9999 is
+    zeroed and multiplied in. Returns (warped, mask)."""
+    B, H, W, _ = image.shape
+    grid = jnp.asarray(grids.identity_grid(H, W))[None] + flow
+    sampler = cycle_bilinear_sample if cyclic else bilinear_sample
+    out = sampler(image, grid)
+    mask = sampler(jnp.ones_like(image), grid)
+    mask = jnp.where(mask < 0.9999, 0.0, 1.0)
+    return out * mask, mask
+
+
 def _resize_bilinear_align_corners(x, out_h, out_w):
     """Bilinear resize with align_corners=True (torch F.interpolate parity)."""
     B, H, W, C = x.shape

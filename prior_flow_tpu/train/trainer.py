@@ -225,6 +225,10 @@ class Trainer:
                 t_last = t_now
                 self.logger(host, total_steps)
 
+            if total_steps % IMAGE_LOG_FREQ == 0 and \
+                    hasattr(self.logger, "log_images"):
+                self._log_image_panels(state, batch, total_steps)
+
             if total_steps % cfg.val_freq == cfg.val_freq - 1:
                 self.save(state, total_steps + 1)
                 results = {}
@@ -241,6 +245,28 @@ class Trainer:
 
         self.save(state, "final")
         return state
+
+    def _log_image_panels(self, state, batch, step):
+        """Input / prediction / GT colour panels every IMAGE_LOG_FREQ steps —
+        the reference's wandb image logging (train_flow.py:152-178)."""
+        import numpy as np
+
+        from ..ops.warp import img_a2b
+        from ..utils.flow_viz import omniflow_to_image
+
+        image1, image2, flow_gt = batch[0][:1], batch[1][:1], batch[2][:1]
+        preds_A, preds_B = self.model.apply(
+            state.variables, jnp.asarray(image1), jnp.asarray(image2),
+            iters=self.cfg.iters)
+        panels = {
+            "image1": np.asarray(image1[0]),
+            "image2": np.asarray(image2[0]),
+            "image1_B": np.asarray(img_a2b(jnp.asarray(image1)))[0],
+            "flow_gt": omniflow_to_image(np.asarray(flow_gt[0])),
+            "flow_pred_A": omniflow_to_image(np.asarray(preds_A[-1][0])),
+            "flow_pred_B": omniflow_to_image(np.asarray(preds_B[-1][0])),
+        }
+        self.logger.log_images(panels, step)
 
     def save(self, state: TrainState, tag):
         from ..checkpoint.orbax_io import save_train_state

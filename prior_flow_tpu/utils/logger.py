@@ -14,6 +14,35 @@ import time
 from typing import Dict, Optional
 
 
+class PngSink:
+    """Writes image panels as PNGs under run_dir/images (the local
+    counterpart of the reference's wandb image panels,
+    train_flow.py:152-178)."""
+
+    def __init__(self, run_dir: str):
+        self.dir = os.path.join(run_dir, "images")
+
+    def log(self, metrics: Dict, step: int):
+        pass
+
+    def log_images(self, images: Dict, step: int):
+        import numpy as np
+        try:
+            import cv2
+        except ImportError:
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        for name, img in images.items():
+            arr = np.asarray(img)
+            if arr.dtype != "uint8":
+                arr = arr.clip(0, 255).astype("uint8")
+            cv2.imwrite(os.path.join(self.dir, f"{step:08d}_{name}.png"),
+                        arr[..., ::-1] if arr.ndim == 3 else arr)
+
+    def close(self):
+        pass
+
+
 class JsonlSink:
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -57,6 +86,10 @@ class WandbSink:
     def log(self, metrics: Dict, step: int):
         self._wandb.log(metrics, step)
 
+    def log_images(self, images: Dict, step: int):
+        self._wandb.log({k: self._wandb.Image(v) for k, v in images.items()},
+                        step)
+
     def close(self):
         self._wandb.finish()
 
@@ -69,7 +102,8 @@ class MetricLogger:
     def default(cls, run_dir: str = "runs", name: str = "run",
                 project: Optional[str] = None, config=None,
                 use_wandb: bool = False):
-        sinks = [StdoutSink(), JsonlSink(os.path.join(run_dir, name + ".jsonl"))]
+        sinks = [StdoutSink(), JsonlSink(os.path.join(run_dir, name + ".jsonl")),
+                 PngSink(run_dir)]
         if use_wandb:
             try:
                 sinks.append(WandbSink(project or "prior-flow-tpu", name, config))
@@ -80,6 +114,11 @@ class MetricLogger:
     def __call__(self, metrics: Dict, step: int):
         for s in self.sinks:
             s.log(metrics, step)
+
+    def log_images(self, images: Dict, step: int):
+        for s in self.sinks:
+            if hasattr(s, "log_images"):
+                s.log_images(images, step)
 
     def close(self):
         for s in self.sinks:
