@@ -1,0 +1,64 @@
+"""End-to-end trainer smoke test on a synthetic dataset tree (the closest
+thing to the reference's real de-facto verification, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from prior_flow_tpu.data.datasets import MPFDataset, fetch_dataset
+from prior_flow_tpu.data.factory import ConcatDataset, DataConfig, build_dataloader
+from prior_flow_tpu.data.loader import DataLoader
+from prior_flow_tpu.models import PriOrRAFT
+from prior_flow_tpu.train.trainer import Trainer, TrainerConfig
+
+from test_data import _make_mpf_tree
+
+
+H, W = 64, 128
+
+
+@pytest.fixture
+def mpf_root(tmp_path):
+    return _make_mpf_tree(str(tmp_path), n=5, H=H, W=W)
+
+
+class TestTrainerEndToEnd:
+    def test_two_steps_and_checkpoint(self, mpf_root, tmp_path):
+        train_root = os.path.join(mpf_root)
+        # reuse the test split dir as a fake train split
+        os.rename(os.path.join(train_root, "EFTs_Car100"),
+                  os.path.join(train_root, "EFTs_Car2000"))
+        cfg = TrainerConfig(stage="EFT", lr=1e-4, num_steps=2, batch_size=1,
+                            iters=2, save_path=str(tmp_path / "ckpts"),
+                            val_freq=10_000, data_root=train_root)
+        model = PriOrRAFT(remat=True)
+        logged = []
+        trainer = Trainer(model, cfg,
+                          logger=lambda m, s: logged.append((s, m)))
+        ds = fetch_dataset("EFT", train_root)
+        loader = DataLoader(ds, batch_size=1, shuffle=True, num_workers=1)
+        state = trainer.run(loader)
+        assert int(state.step) == cfg.num_steps + 1
+        assert os.path.isdir(os.path.join(str(tmp_path / "ckpts"), "final"))
+        assert any("train/loss" in m for _, m in logged)
+        assert np.isfinite(logged[0][1]["train/loss"])
+
+
+class TestFactory:
+    def test_build_dataloader(self, mpf_root):
+        cfg = DataConfig(type="360flow", name="MPFDataset", scene="EFT",
+                         split="test", aug_params=None, batch_size=2,
+                         num_shards=1, num_workers=1,
+                         roots={"MPFDataset": mpf_root})
+        loader = build_dataloader(cfg)
+        assert len(loader) >= 1
+
+    def test_concat_dataset(self, mpf_root):
+        a = MPFDataset(split="test", scene="EFT", root=mpf_root)
+        b = MPFDataset(split="test", scene="EFT", root=mpf_root)
+        cat = ConcatDataset([a, b])
+        assert len(cat) == 2 * len(a)
+        ia = cat[0]
+        ib = cat[len(a)]
+        np.testing.assert_array_equal(np.asarray(ia[0]), np.asarray(ib[0]))
