@@ -219,7 +219,9 @@ class DCCL:
         - 'mxu'    — windowed lookups as dense one-hot matmuls (fast TPU
                      path; numerically equivalent to 'gather');
         - 'pallas' — fused Pallas kernel: own+cross lookups per level from
-                     VMEM-resident volume slices (no HBM intermediates);
+                     VMEM-resident volume slices (no HBM intermediates).
+                     Inference fast path: the kernel has no custom VJP yet,
+                     so training must use 'mxu' (differentiable einsums);
         - 'gather' — take_along_axis gathers mirroring the reference's
                      grid_sample chain call-for-call (parity/debug path).
         """

@@ -10,8 +10,9 @@ expressed as one-hot bilinear contractions (see ops.corr._window_weights for
 the semantics being reproduced: x wraps mod W, the x+1 corner at W is ZERO
 — the reference's grid_sample seam quirk — and out-of-range y rows are
 zero). Compared to the XLA 'mxu' path this keeps the (taps x Wl)
-intermediates in VMEM instead of round-tripping ~0.5 GB/iteration through
-HBM, and reads each level volume exactly once.
+intermediates in VMEM instead of round-tripping ~4 GB/iteration through
+HBM (the ablation-measured bottleneck: DCCL is ~80% of forward time), and
+reads each level volume exactly once.
 
 Use via ``DCCL(lookup_mode='pallas')``; falls back to interpret mode on CPU
 for testing.
@@ -29,32 +30,21 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_Q = 8  # queries per program
 
 
-def _onehot_weights_1d(center, extent: int, offsets, wrap: bool, dtype):
-    """(taps, extent) one-hot bilinear weights for one query.
+def _iota_f32(taps: int, extent: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (taps, extent), 1).astype(
+        jnp.float32)
 
-    center: scalar f32; offsets: (taps, 1) f32 tap offsets.
-    Semantics identical to ops.corr._window_weights.
+
+def _onehot_from_base(base, frac, extent: int, dtype):
+    """(taps, extent) one-hot bilinear weights.
+
+    base: (taps, 1) f32 integer-valued corner columns; frac: broadcastable
+    fractional weight. Corner base+1 == extent contributes zero (the seam
+    quirk); base outside [0, extent-1] contributes zero.
     """
-    t = center % extent if wrap else center
-    t0 = jnp.floor(t)
-    frac = (t - t0).astype(dtype)
-    base = t0 + offsets  # (taps, 1)
-    if wrap:
-        base = base % extent
-    cols = jax.lax.broadcasted_iota(jnp.int32, (offsets.shape[0], extent), 1).astype(jnp.float32)
-    w = (jnp.where(cols == base, (1.0 - frac), 0.0) +
+    cols = _iota_f32(base.shape[0], extent)
+    w = (jnp.where(cols == base, 1.0 - frac, 0.0) +
          jnp.where(cols == base + 1.0, frac, 0.0))
-    return w.astype(dtype)
-
-
-def _onehot_weights_percoord(coords, extent: int, wrap: bool, dtype):
-    """(taps, extent) weights for per-tap independent coords (taps, 1)."""
-    t = coords % extent if wrap else coords
-    t0 = jnp.floor(t)
-    frac = (t - t0).astype(dtype)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], extent), 1).astype(jnp.float32)
-    w = (jnp.where(cols == t0, (1.0 - frac), 0.0) +
-         jnp.where(cols == t0 + 1.0, frac, 0.0))
     return w.astype(dtype)
 
 
@@ -62,14 +52,14 @@ def _dccl_level_kernel(centers_ref, cross_ref, own_vol_ref, other_vol_ref,
                        own_out_ref, cross_out_ref, *, radius: int,
                        level_scale: float):
     n = 2 * radius + 1
-    K = n * n
     dtype = own_vol_ref.dtype
     Hl = own_vol_ref.shape[1]
     Wl = own_vol_ref.shape[2]
 
-    # tap offsets in the reference ordering k = i*n + j:
-    # x offset i-r (i-major), y offset j-r (j-minor)  [core/corr.py:120-126]
-    offs = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32) - radius
+    # tap offsets: own-window taps are i-major in x, j-minor in y
+    # (reference core/corr.py:120-126)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(
+        jnp.float32) - radius
 
     for t in range(TILE_Q):
         cx = centers_ref[t, 0] * level_scale
@@ -78,26 +68,39 @@ def _dccl_level_kernel(centers_ref, cross_ref, own_vol_ref, other_vol_ref,
         vol_other = other_vol_ref[t]  # (Hl, Wl)
 
         # ---- own-branch window lookup -----------------------------------
-        wy = _onehot_weights_1d(cy, Hl, offs, wrap=False, dtype=dtype)  # (n,Hl)
-        wx = _onehot_weights_1d(cx, Wl, offs, wrap=True, dtype=dtype)   # (n,Wl)
+        ty = cy
+        ty0 = jnp.floor(ty)
+        fy = (ty - ty0).astype(dtype)
+        wy = _onehot_from_base(ty0 + offs, fy, Hl, dtype)        # (n_j, Hl)
+
+        tx = cx % Wl
+        tx0 = jnp.floor(tx)
+        fx = (tx - tx0).astype(dtype)
+        wx = _onehot_from_base((tx0 + offs) % Wl, fx, Wl, dtype)  # (n_i, Wl)
+
         tmp = jax.lax.dot_general(
             wy, vol_own, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (n=j, Wl)
-        own = jax.lax.dot_general(
-            tmp.astype(dtype), wx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (j, i)
-        own_out_ref[t] = own.T.reshape(K)  # k = i*n + j
+            preferred_element_type=jnp.float32)  # (n_j, Wl)
+        own_ij = jax.lax.dot_general(
+            wx, tmp.astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (n_i, n_j)
+        own_out_ref[t] = own_ij  # flattened to k = i*n + j by the caller
 
         # ---- cross-branch per-tap lookup --------------------------------
-        cxk = cross_ref[t, :, 0:1]  # (K, 1)
-        cyk = cross_ref[t, :, 1:2]
-        wy2 = _onehot_weights_percoord(cyk, Hl, wrap=False, dtype=dtype)
-        wx2 = _onehot_weights_percoord(cxk, Wl, wrap=True, dtype=dtype)
+        cyk = cross_ref[t, :, 1:2]  # (K, 1)
+        cy0 = jnp.floor(cyk)
+        wy2 = _onehot_from_base(cy0, (cyk - cy0).astype(dtype), Hl, dtype)
+
+        cxk = cross_ref[t, :, 0:1] % Wl
+        cx0 = jnp.floor(cxk)
+        wx2 = _onehot_from_base(cx0, (cxk - cx0).astype(dtype), Wl, dtype)
+
         tmp2 = jax.lax.dot_general(
             wy2, vol_other, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (K, Wl)
-        cross = jnp.sum(tmp2 * wx2.astype(jnp.float32), axis=1)  # (K,)
-        cross_out_ref[t] = cross
+        cross = jnp.sum(tmp2 * wx2.astype(jnp.float32), axis=1,
+                        keepdims=True)  # (K, 1)
+        cross_out_ref[t] = cross[:, 0]
 
 
 def dccl_level_lookup_pallas(own_vol, other_vol, centers, cross_coords,
@@ -109,10 +112,12 @@ def dccl_level_lookup_pallas(own_vol, other_vol, centers, cross_coords,
     centers: (B, Q, 2) UNSCALED 1/8-res coords (scaled by ``level_scale``
     in-kernel for the own lookup, matching core/corr.py:123);
     cross_coords: (B, Q, K, 2) per-tap cross-view coords (already mapped).
-    Returns (own, cross): each (B, Q, K) float32.
+    Returns (own, cross): each (B, Q, K) float32 with the reference tap
+    ordering k = i*(2r+1)+j.
     """
     B, Q, Hl, Wl = own_vol.shape
-    K = (2 * radius + 1) ** 2
+    n = 2 * radius + 1
+    K = n * n
     assert Q % TILE_Q == 0, f"Q={Q} must be a multiple of {TILE_Q}"
     grid = (B * Q // TILE_Q,)
 
@@ -123,12 +128,12 @@ def dccl_level_lookup_pallas(own_vol, other_vol, centers, cross_coords,
 
     kernel = functools.partial(_dccl_level_kernel, radius=radius,
                                level_scale=level_scale)
-    own, cross = pl.pallas_call(
+    own_ij, cross = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_Q, 2), lambda q: (q, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_Q, K, 2), lambda q: (q, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_Q, Hl, Wl), lambda q: (q, 0, 0),
@@ -137,15 +142,16 @@ def dccl_level_lookup_pallas(own_vol, other_vol, centers, cross_coords,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TILE_Q, K), lambda q: (q, 0),
+            pl.BlockSpec((TILE_Q, n, n), lambda q: (q, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_Q, K), lambda q: (q, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B * Q, K), jnp.float32),
+            jax.ShapeDtypeStruct((B * Q, n, n), jnp.float32),
             jax.ShapeDtypeStruct((B * Q, K), jnp.float32),
         ),
         interpret=interpret,
     )(centers, cross_coords, own_vol, other_vol)
-    return own.reshape(B, Q, K), cross.reshape(B, Q, K)
+    own = own_ij.reshape(B, Q, K)  # (n_i, n_j) row-major == k = i*n + j
+    return own, cross.reshape(B, Q, K)

@@ -140,6 +140,28 @@ class TestMXULookupParity:
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-5)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=5e-5)
 
+    def test_pallas_equals_mxu_interpret(self, rng):
+        """The fused Pallas level kernel (interpret mode on CPU) must match
+        the mxu path."""
+        import jax
+        from prior_flow_tpu.geometry import grids
+        B, h, w = 1, 8, 16
+        Q = h * w
+        volA = rng.normal(size=(B, Q, h, w)).astype(np.float32)
+        volB = rng.normal(size=(B, Q, h, w)).astype(np.float32)
+        pyrA = C.build_pyramid(jnp.asarray(volA), 4)
+        pyrB = C.build_pyramid(jnp.asarray(volB), 4)
+        g = grids.rotation_grids(h * 8, w * 8)
+        coords = jnp.asarray(grids.identity_grid(h, w)[None] +
+                             rng.normal(size=(B, h, w, 2)).astype(np.float32) * 5)
+        with jax.default_matmul_precision("highest"):
+            o1, c1 = C.DCCL(lookup_mode="mxu")(
+                coords, pyrA, pyrB, jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_8))
+            o2, c2 = C.DCCL(lookup_mode="pallas")(
+                coords, pyrA, pyrB, jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_8))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=5e-5)
+
     def test_sample_volume_level_mxu(self, rng):
         import jax
         B, Q, Hl, Wl, K = 2, 5, 8, 16, 13
