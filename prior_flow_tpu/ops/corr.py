@@ -175,7 +175,7 @@ def sample_volume_level(vol_l, coords):
     return out.reshape(B, Q, K)
 
 
-def sample_volume_level_mxu(vol_l, coords, tap_chunk: int = 27):
+def sample_volume_level_mxu(vol_l, coords, tap_chunk: int = 0):
     """``sample_volume_level`` for ARBITRARY per-tap coords as one-hot
     contractions (TPU fast path: MXU work instead of per-scalar gathers).
 
@@ -186,6 +186,12 @@ def sample_volume_level_mxu(vol_l, coords, tap_chunk: int = 27):
     """
     B, Q, Hl, Wl = vol_l.shape
     K = coords.shape[2]
+    if tap_chunk <= 0:
+        # adaptive: bound the (B, Q, k, Hl) f32 intermediate to ~256 MB so
+        # eval (batch 1) runs unchunked (no volume re-reads) while larger
+        # training batches chunk
+        budget = 256 * 1024 * 1024 // 4
+        tap_chunk = max(1, min(K, budget // max(B * Q * Hl, 1)))
     outs = []
     for k0 in range(0, K, tap_chunk):
         c = coords[:, :, k0:k0 + tap_chunk, :]  # (B, Q, k, 2)

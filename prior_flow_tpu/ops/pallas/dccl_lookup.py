@@ -39,8 +39,12 @@ def _onehot_from_base(base, frac, extent: int, dtype):
     """(taps, extent) one-hot bilinear weights.
 
     base: (taps, 1) f32 integer-valued corner columns; frac: broadcastable
-    fractional weight. Corner base+1 == extent contributes zero (the seam
-    quirk); base outside [0, extent-1] contributes zero.
+    f32 fractional weight. Corner base+1 == extent contributes zero (the
+    seam quirk); base outside [0, extent-1] contributes zero.
+
+    All select arithmetic stays in f32 — Mosaic cannot relayout the i1
+    comparison masks into bf16 (16,128) tiling — and only the final weight
+    matrix is cast to the volume dtype.
     """
     cols = _iota_f32(base.shape[0], extent)
     w = (jnp.where(cols == base, 1.0 - frac, 0.0) +
@@ -68,15 +72,12 @@ def _dccl_level_kernel(centers_ref, cross_ref, own_vol_ref, other_vol_ref,
         vol_other = other_vol_ref[t]  # (Hl, Wl)
 
         # ---- own-branch window lookup -----------------------------------
-        ty = cy
-        ty0 = jnp.floor(ty)
-        fy = (ty - ty0).astype(dtype)
-        wy = _onehot_from_base(ty0 + offs, fy, Hl, dtype)        # (n_j, Hl)
+        ty0 = jnp.floor(cy)
+        wy = _onehot_from_base(ty0 + offs, cy - ty0, Hl, dtype)  # (n_j, Hl)
 
         tx = cx % Wl
         tx0 = jnp.floor(tx)
-        fx = (tx - tx0).astype(dtype)
-        wx = _onehot_from_base((tx0 + offs) % Wl, fx, Wl, dtype)  # (n_i, Wl)
+        wx = _onehot_from_base((tx0 + offs) % Wl, tx - tx0, Wl, dtype)
 
         tmp = jax.lax.dot_general(
             wy, vol_own, (((1,), (0,)), ((), ())),
@@ -89,11 +90,11 @@ def _dccl_level_kernel(centers_ref, cross_ref, own_vol_ref, other_vol_ref,
         # ---- cross-branch per-tap lookup --------------------------------
         cyk = cross_ref[t, :, 1:2]  # (K, 1)
         cy0 = jnp.floor(cyk)
-        wy2 = _onehot_from_base(cy0, (cyk - cy0).astype(dtype), Hl, dtype)
+        wy2 = _onehot_from_base(cy0, cyk - cy0, Hl, dtype)
 
         cxk = cross_ref[t, :, 0:1] % Wl
         cx0 = jnp.floor(cxk)
-        wx2 = _onehot_from_base(cx0, (cxk - cx0).astype(dtype), Wl, dtype)
+        wx2 = _onehot_from_base(cx0, cxk - cx0, Wl, dtype)
 
         tmp2 = jax.lax.dot_general(
             wy2, vol_other, (((1,), (0,)), ((), ())),
