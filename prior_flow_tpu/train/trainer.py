@@ -166,11 +166,30 @@ class Trainer:
             variables = self._restore(variables)
         return TrainState.create(variables, self.tx)
 
+    def _latest_checkpoint(self):
+        """Most recent step checkpoint under save_path (auto-resume — an
+        upgrade over the reference, which has no crash recovery,
+        SURVEY.md §5 'Failure detection: none')."""
+        root = os.path.abspath(self.cfg.save_path)
+        if not os.path.isdir(root):
+            return None
+        steps = [d for d in os.listdir(root) if d.isdigit()]
+        if os.path.isdir(os.path.join(root, "final")):
+            return os.path.join(root, "final")
+        if not steps:
+            return None
+        return os.path.join(root, max(steps, key=int))
+
     def _restore(self, template):
         """Restore weights: native Orbax dir, exact .pth, or FlyingThings
         graft — the reference's try/except restore chain
-        (train_flow.py:99-104)."""
+        (train_flow.py:99-104). ``restore_ckpt='auto'`` resumes from the
+        latest checkpoint in save_path."""
         path = self.cfg.restore_ckpt
+        if path == "auto":
+            path = self._latest_checkpoint()
+            if path is None:
+                return template
         if os.path.isdir(path):
             from ..checkpoint.orbax_io import restore_variables
             return restore_variables(path, template)
