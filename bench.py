@@ -29,7 +29,7 @@ def main():
 
     from prior_flow_tpu.models import PriOrRAFT
 
-    model = PriOrRAFT(mixed_precision=True, lookup_mode="pallas")
+    model = PriOrRAFT(mixed_precision=True, lookup_mode="mxu")
     rng = jax.random.PRNGKey(0)
     img1 = jax.random.uniform(rng, (1, H, W, 3)) * 255.0
     img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (1, H, W, 3)) * 255.0
