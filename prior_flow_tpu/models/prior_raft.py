@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from ..geometry import grids as gridlib
 from ..nn.encoder import BasicEncoder
 from ..nn.update import BasicMultiUpdateBlock, BasicUpdateBlock
-from ..ops.corr import DCCL, all_pairs_correlation, build_pyramid, groupwise_corr
+from ..ops.corr import (DCCL, DCCLOnTheFly, all_pairs_correlation,
+                        build_pyramid, groupwise_corr)
 from ..ops.samplers import cycle_bilinear_sample
 from ..ops.warp import flo_rotate, img_rotate
 
@@ -91,8 +92,15 @@ class PriOrRAFT(nn.Module):
     # XLA matmul/conv precision: None = backend default (fastest on TPU),
     # 'highest' = full fp32 accumulation (checkpoint-parity mode).
     precision: Optional[str] = None
-    # DCCL lookup implementation: 'mxu' (one-hot matmuls) or 'gather'.
+    # DCCL lookup implementation: 'mxu' (one-hot matmuls), 'pallas', or
+    # 'gather'.
     lookup_mode: str = "mxu"
+    # 'volume' materialises the O((HW/64)^2) cost volume once (fastest for
+    # iterative lookups); 'onthefly' evaluates correlation per tap from the
+    # pooled feature pyramid — O(HW*C) memory, the alt_cuda_corr capability
+    # (reference core/corr.py:64-91) for resolutions whose volume exceeds
+    # HBM.
+    corr_mode: str = "volume"
 
     def setup(self):
         dtype = jnp.bfloat16 if self.mixed_precision else None
@@ -104,9 +112,13 @@ class PriOrRAFT(nn.Module):
                                  dtype=dtype)
         self.ODDC = BasicMultiUpdateBlock(hidden_dim=self.hidden_dim, dtype=dtype)
         self.update_block = BasicUpdateBlock(hidden_dim=self.hidden_dim, dtype=dtype)
-        self._dccl = DCCL(num_levels=self.corr_levels,
-                          radius=self.corr_radius,
-                          lookup_mode=self.lookup_mode)
+        if self.corr_mode == "onthefly":
+            self._dccl = DCCLOnTheFly(num_levels=self.corr_levels,
+                                      radius=self.corr_radius)
+        else:
+            self._dccl = DCCL(num_levels=self.corr_levels,
+                              radius=self.corr_radius,
+                              lookup_mode=self.lookup_mode)
 
     # -- one GRU iteration (reference core/prior_raft.py:170-211) ----------
     def _step(self, carry, consts: StepConsts):
@@ -189,10 +201,16 @@ class PriOrRAFT(nn.Module):
         # traffic for every per-iteration lookup) while lookups accumulate
         # in f32; full-precision mode keeps f32 storage for parity.
         corr_dtype = jnp.bfloat16 if self.mixed_precision else jnp.float32
-        pyr_A = tuple(p.astype(corr_dtype) for p in build_pyramid(
-            all_pairs_correlation(fmap1_A, fmap2_A), self.corr_levels))
-        pyr_B = tuple(p.astype(corr_dtype) for p in build_pyramid(
-            all_pairs_correlation(fmap1_B, fmap2_B), self.corr_levels))
+        if self.corr_mode == "onthefly":
+            pyr_A = tuple(DCCLOnTheFly.build_pyramid(fmap1_A, fmap2_A,
+                                                     self.corr_levels))
+            pyr_B = tuple(DCCLOnTheFly.build_pyramid(fmap1_B, fmap2_B,
+                                                     self.corr_levels))
+        else:
+            pyr_A = tuple(p.astype(corr_dtype) for p in build_pyramid(
+                all_pairs_correlation(fmap1_A, fmap2_A), self.corr_levels))
+            pyr_B = tuple(p.astype(corr_dtype) for p in build_pyramid(
+                all_pairs_correlation(fmap1_B, fmap2_B), self.corr_levels))
 
         # flow initialisation (prior_raft.py:161-165)
         h8, w8 = H // 8, W // 8

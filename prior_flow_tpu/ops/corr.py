@@ -291,6 +291,102 @@ class DCCL:
         return own, cross
 
 
+class DCCLOnTheFly:
+    """Memory-efficient DCCL: correlation computed on the fly per lookup,
+    never materialising the O((HW/64)^2) volume.
+
+    This is the TPU-native realisation of the capability represented by the
+    reference's never-compiled ``alt_cuda_corr`` / ``AlternateCorrBlock``
+    (core/corr.py:7-11, 64-91; SURVEY.md §2.2). It is EXACT, not an
+    approximation: the reference pyramid average-pools the volume over the
+    TARGET axes only (core/corr.py:107-109), and correlation is linear in
+    fmap2, so
+
+        avg_pool_target(corr(f1, f2)) == corr(f1, avg_pool(f2)),
+
+    and bilinear sampling commutes with the feature dot for the same reason.
+    Each tap therefore evaluates <f1[q], bilinear(f2_pooled_level, tap)>
+    directly — O(Q*K*C) work and O(HW*C) memory per level instead of
+    O((HW)^2) volume storage. Slower per iteration than the volume path at
+    512x1024/12 iters (features are re-read per tap) but the only option
+    once the volume outgrows HBM at higher resolutions.
+
+    Call signature mirrors ``DCCL`` with feature pyramids instead of volume
+    pyramids: pyr_* are lists of (f1 (B, Q, C), f2_lvl (B, Hl, Wl, C)).
+    """
+
+    def __init__(self, num_levels: int = 4, radius: int = 4,
+                 tap_chunk: int = 27):
+        self.num_levels = num_levels
+        self.radius = radius
+        self.tap_chunk = tap_chunk
+        self._delta = _window_delta(radius)
+
+    @staticmethod
+    def build_pyramid(fmap1, fmap2, num_levels: int = 4):
+        """(B, h, w, C) x2 -> list of (f1 (B, Q, C), f2_lvl (B, Hl, Wl, C)).
+
+        The 1/sqrt(C) scale of the volume (prior_raft.py:75) is folded into
+        f1 once.
+        """
+        B, h, w, C = fmap1.shape
+        f1 = (fmap1 / jnp.sqrt(jnp.float32(C))).reshape(B, h * w, C)
+        levels = []
+        f2 = fmap2
+        for i in range(num_levels):
+            levels.append((f1, f2))
+            if i + 1 < num_levels:
+                Bf, Hl, Wl, Cf = f2.shape
+                f2 = f2.reshape(Bf, Hl // 2, 2, Wl // 2, 2, Cf).mean(axis=(2, 4))
+        return levels
+
+    def _tap_values(self, f1, f2_lvl, coords):
+        """<f1[q], bilinear(f2_lvl, coords[q, k])> for (B, Q, K, 2) coords,
+        chunked over taps; (B, Q, K) float32."""
+        B, Q, K, _ = coords.shape
+        outs = []
+        for k0 in range(0, K, self.tap_chunk):
+            c = coords[:, :, k0:k0 + self.tap_chunk, :]
+            feats = cycle_bilinear_sample(f2_lvl, c)  # (B, Q, k, C)
+            outs.append(jnp.einsum("bqkc,bqc->bqk", feats, f1,
+                                   preferred_element_type=jnp.float32))
+        return jnp.concatenate(outs, axis=-1)
+
+    def __call__(self, coords, pyr_own, pyr_other, grid_w2c_8, grid_back_8):
+        B, h1, w1, _ = coords.shape
+        Q = h1 * w1
+        K = self._delta.shape[0]
+        delta = jnp.asarray(self._delta)[None, None]
+        cq = coords.reshape(B, Q, 1, 2)
+        if grid_w2c_8.ndim == 3:
+            grid_w2c_8 = jnp.broadcast_to(
+                jnp.asarray(grid_w2c_8), (B,) + grid_w2c_8.shape)
+        if grid_back_8.ndim == 3:
+            grid_back_8 = jnp.broadcast_to(
+                jnp.asarray(grid_back_8), (B,) + grid_back_8.shape)
+
+        own_out, cross_out = [], []
+        for i in range(self.num_levels):
+            centers = cq[:, :, 0, :] / (2.0 ** i)
+            coords_lvl = centers[:, :, None, :] + delta
+
+            f1_own, f2_own = pyr_own[i]
+            own = self._tap_values(f1_own, f2_own, coords_lvl)
+            own_out.append(own.reshape(B, h1, w1, K))
+
+            coords_other = sample_image_window_mxu(grid_w2c_8, centers,
+                                                   self.radius)
+            f1_other, f2_other = pyr_other[i]
+            cross = self._tap_values(f1_other, f2_other, coords_other)
+            cross_img = cross.reshape(B, h1, w1, K)
+            cross_img = cycle_bilinear_sample(cross_img, grid_back_8)
+            cross_out.append(cross_img)
+
+        own = jnp.concatenate(own_out, axis=-1).astype(jnp.float32)
+        cross = jnp.concatenate(cross_out, axis=-1).astype(jnp.float32)
+        return own, cross
+
+
 def groupwise_corr(fea1, fea2, num_groups: int):
     """Per-group mean of elementwise products — the "flaw" confidence map.
 

@@ -94,3 +94,22 @@ class TestConvexUpsample:
         up = upsample_flow_convex(flow, jnp.asarray(mask.reshape(B, h, w, 576)))
         expected = np.repeat(np.repeat(np.asarray(8.0 * flow), 8, 1), 8, 2)
         np.testing.assert_allclose(np.asarray(up), expected, atol=1e-4)
+
+
+class TestCorrModes:
+    def test_onthefly_equals_volume(self, small_model):
+        """The memory-efficient on-the-fly correlation (alt_cuda_corr
+        capability, reference core/corr.py:64-91) is mathematically exact:
+        target-axis pooling and bilinear sampling both commute with the
+        feature dot."""
+        import jax
+        model, variables = small_model
+        rng = jax.random.PRNGKey(9)
+        img1 = jax.random.uniform(rng, (1, 64, 128, 3)) * 255
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (1, 64, 128, 3)) * 255
+        otf = PriOrRAFT(precision="highest", corr_mode="onthefly")
+        ref = PriOrRAFT(precision="highest")
+        o1 = ref.apply(variables, img1, img2, iters=3, test_mode=True)
+        o2 = otf.apply(variables, img1, img2, iters=3, test_mode=True)
+        scale = float(jnp.abs(o1).max()) + 1e-6
+        assert float(jnp.abs(o1 - o2).max()) < 1e-4 * scale + 1e-4
