@@ -29,6 +29,7 @@ from typing import Any, NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..geometry import grids as gridlib
 from ..nn.encoder import BasicEncoder
@@ -142,8 +143,12 @@ class PriOrRAFT(nn.Module):
                                       c.a2b_w2c_8, c.b2a_8)
         corr_B, corr_A_B = self._dccl(coords1_B, c.pyr_B, c.pyr_A,
                                       c.b2a_w2c_8, c.a2b_8)
-        corr_A = corr_A + corr_B_A
-        corr_B = corr_B + corr_A_B
+        # name the lookup results so the remat policy keeps them: DCCL is
+        # ~80% of forward time (docs/ARCHITECTURE.md §3) and its inputs are
+        # stop_gradiented coords, so saving ~85 MB/iteration avoids the most
+        # expensive recomputation in the backward pass
+        corr_A = checkpoint_name(corr_A + corr_B_A, "dccl_corr")
+        corr_B = checkpoint_name(corr_B + corr_A_B, "dccl_corr")
 
         net_A, up_mask_A, delta_flow_A = self.ODDC(
             net_A, c.inp_A, flow_A, corr_A, flaw_A, flow_B_A, flaw_B_A)
@@ -234,7 +239,8 @@ class PriOrRAFT(nn.Module):
 
         step = PriOrRAFT._step
         if self.remat:
-            step = nn.remat(step, prevent_cse=False)
+            policy = jax.checkpoint_policies.save_only_these_names("dccl_corr")
+            step = nn.remat(step, prevent_cse=False, policy=policy)
         scan = nn.scan(
             step,
             variable_broadcast="params",
