@@ -1,0 +1,58 @@
+"""CLI surface tests: flag parity with the reference entry points."""
+
+import numpy as np
+import pytest
+
+from prior_flow_tpu.cli.train import PRESETS, build_parser
+
+
+class TestTrainCLI:
+    def test_reference_flag_surface(self):
+        """Every train_flow.py flag (reference train_flow.py:206-231) parses."""
+        parser = build_parser()
+        args = parser.parse_args([
+            "--project_name", "PriOr-Flow", "--name", "exp", "--stage", "EFT",
+            "--restore_ckpt", "x.pth", "--validation", "EFT", "City",
+            "--lr", "0.0001", "--num_steps", "60000", "--batch_size", "4",
+            "--image_size", "512", "1024", "--mixed_precision",
+            "--dropout", "0.1", "--iters", "12", "--wdecay", "0.0001",
+            "--epsilon", "1e-8", "--clip", "1.0", "--gamma", "0.8",
+            "--add_noise", "--save_path", "/tmp/ck",
+        ])
+        assert args.stage == "EFT" and args.mixed_precision
+        assert args.validation == ["EFT", "City"]
+        assert args.image_size == [512, 1024]
+
+    def test_presets_match_reference_recipes(self):
+        """scripts/train_*.sh hyperparameters (reference train_EFT.sh:1-9,
+        train_FlowScape.sh:1-9)."""
+        assert PRESETS["EFT"] == dict(num_steps=60000, batch_size=4,
+                                      lr=1e-4, wdecay=1e-4)
+        assert PRESETS["City"]["num_steps"] == 60000
+        assert PRESETS["FlowScape"] == dict(num_steps=100000, batch_size=6,
+                                            lr=1e-4, wdecay=1e-4)
+
+
+class TestEvaluateCLI:
+    def test_reference_flags(self):
+        import argparse
+        import prior_flow_tpu.cli.evaluate as ev
+        # build the parser without running evaluation
+        import unittest.mock as mock
+        with mock.patch.object(argparse.ArgumentParser, "parse_args",
+                               side_effect=SystemExit) as pa:
+            with pytest.raises(SystemExit):
+                ev.main([])
+        assert pa.called
+
+
+class TestDemoImageCLI:
+    def test_load_image(self, rng, tmp_path):
+        import cv2
+        from prior_flow_tpu.cli.demo_image import load_image
+        img = rng.integers(0, 255, (32, 64, 3)).astype(np.uint8)
+        p = str(tmp_path / "f.png")
+        cv2.imwrite(p, img[:, :, ::-1])
+        out = load_image(p)
+        assert out.shape == (1, 32, 64, 3)
+        np.testing.assert_array_equal(out[0].astype(np.uint8), img)
