@@ -25,6 +25,11 @@ RUNS = 8
 
 def main():
     import jax
+    try:  # persistent compile cache: driver re-runs skip the ~20-min compile
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from prior_flow_tpu.models import PriOrRAFT

@@ -24,8 +24,10 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--max_samples", type=int, default=None)
-    parser.add_argument("--precision", default=None,
-                        choices=[None, "highest"], nargs="?")
+    # default to full-precision accumulation: benchmark-grade EPE parity
+    # with the fp32 reference; pass --precision fastest for throughput
+    parser.add_argument("--precision", default="highest",
+                        choices=["highest", "fastest"])
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -36,7 +38,8 @@ def main(argv=None):
 
     model = PriOrRAFT(dropout=args.dropout,
                       mixed_precision=args.mixed_precision,
-                      precision=args.precision)
+                      precision=None if args.precision == "fastest"
+                      else args.precision)
     example = jnp.zeros((1, 64, 128, 3), jnp.float32)
     variables = load_model_variables(model, args.model, example)
 
