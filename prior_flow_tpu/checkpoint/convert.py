@@ -23,7 +23,6 @@ reference attribute names (``fnet.layer1.0.conv1`` -> ``fnet/layer1_0/conv1``,
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping, Tuple
 
 import numpy as np

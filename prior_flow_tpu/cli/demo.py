@@ -21,7 +21,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from ..models import PriOrRAFT
 

@@ -67,8 +67,6 @@ def main(argv=None):
         format="%(asctime)s %(levelname)-8s [%(filename)s:%(lineno)d] %(message)s")
     os.makedirs(args.save_path, exist_ok=True)
 
-    from functools import partial
-
     from .. import eval as E
     from ..data.datasets import fetch_dataloader
     from ..models import PriOrRAFT

@@ -8,7 +8,6 @@ format specs with numpy; cv2/PIL are used only for image codecs.
 
 from __future__ import annotations
 
-import os
 import re
 from os.path import splitext
 

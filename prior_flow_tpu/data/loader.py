@@ -13,7 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
@@ -35,23 +35,34 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, drop_last: bool = True,
-                 seed: int = 1234, prefetch: int = 2):
+                 seed: int = 1234, prefetch: int = 2,
+                 shard_index: int = 0, num_shards: int = 1):
+        """``shard_index``/``num_shards``: multi-host data loading — each
+        host reads its deterministic 1/num_shards slice of every (commonly
+        seeded) shuffled epoch, so the global batch across hosts is a
+        partition (the DCN side of SURVEY.md §2.3; single-host ICI sharding
+        happens later via parallel.shard_batch)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = max(1, num_shards)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
+        if self.num_shards > 1:
+            per = len(idx) // self.num_shards
+            idx = idx[self.shard_index * per:(self.shard_index + 1) * per]
         return idx
 
     def __iter__(self) -> Iterator:

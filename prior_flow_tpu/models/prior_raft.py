@@ -24,7 +24,7 @@ predictions are returned stacked as (iters, B, H, W, 2).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ layer names: fnet/cnet/update_block).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -24,8 +24,7 @@ import numpy as np
 from ..geometry import grids as gridlib
 from ..nn.encoder import BasicEncoder, SmallEncoder
 from ..nn.update import BasicUpdateBlock, SmallUpdateBlock
-from ..ops.corr import (all_pairs_correlation, build_pyramid,
-                        sample_volume_level, _window_delta)
+from ..ops.corr import all_pairs_correlation, build_pyramid, _window_delta
 from ..ops.samplers import bilinear_sample
 from .prior_raft import upsample_flow_convex
 

@@ -32,7 +32,6 @@ Data layout: feature maps are (B, H, W, C); the volume is kept as
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Sequence
 
 import jax

@@ -169,6 +169,22 @@ class TestLoader:
         assert flow.shape == (2, 32, 64, 2)
         assert valid.shape == (2, 32, 64)
 
+    def test_sharded_loading_partitions_epoch(self, tmp_path):
+        """Multi-host sharding: two shards with a common seed see disjoint
+        halves of the shuffled epoch."""
+        root = _make_mpf_tree(str(tmp_path), n=7)  # 6 pairs
+        d = MPFDataset(split="test", scene="EFT", root=root)
+        d.is_test = False
+        seen = []
+        for shard in (0, 1):
+            loader = DataLoader(d, batch_size=1, shuffle=True, num_workers=1,
+                                seed=42, shard_index=shard, num_shards=2)
+            idx = loader._epoch_indices()
+            assert len(idx) == 3
+            seen.append(set(idx.tolist()))
+        assert seen[0].isdisjoint(seen[1])
+        assert len(seen[0] | seen[1]) == 6
+
     def test_infinite_stream(self, tmp_path):
         root = _make_mpf_tree(str(tmp_path), n=4)
         d = MPFDataset(split="test", scene="EFT", root=root)
