@@ -214,6 +214,53 @@ def convert_things_ckpt(state_dict: Mapping[str, Any],
     return out
 
 
+def export_state_dict(variables: Mapping[str, Any],
+                      add_module_prefix: bool = True) -> Dict[str, np.ndarray]:
+    """Inverse conversion: Flax variables -> a PyTorch-layout state dict.
+
+    Lets TPU-trained weights round-trip into the reference's ``.pth``
+    convention (NCHW kernels, ``module.``-prefixed keys, BatchNorm stats as
+    running_mean/var) so they can be evaluated with the original PyTorch
+    code base.
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree, path, coll):
+        for k, v in tree.items():
+            if isinstance(v, Mapping):
+                walk(v, path + (k,), coll)
+                continue
+            arr = np.asarray(v)
+            mods = []
+            for m in path:
+                if m.startswith(("layer1_", "layer2_", "layer3_")):
+                    base, idx = m.rsplit("_", 1)
+                    mods += [base, idx]
+                elif m.startswith("mask_"):
+                    mods += ["mask", m.split("_", 1)[1]]
+                elif m == "downsample_0":
+                    mods += ["downsample", "0"]
+                else:
+                    mods.append(m)
+            name = ".".join(mods)
+            if coll == "batch_stats":
+                leaf = {"mean": "running_mean", "var": "running_var"}[k]
+            elif k == "kernel":
+                leaf = "weight"
+                arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+            elif k == "scale":
+                leaf = "weight"
+            else:
+                leaf = "bias"
+            out[f"{name}.{leaf}"] = arr
+
+    walk(variables.get("params", {}), (), "params")
+    walk(variables.get("batch_stats", {}), (), "batch_stats")
+    if add_module_prefix:
+        out = {f"module.{k}": v for k, v in out.items()}
+    return out
+
+
 def load_pth(path: str) -> Dict[str, Any]:
     """Read a torch checkpoint file to a {key: numpy} dict."""
     if torch is None:

@@ -84,6 +84,43 @@ class TestThingsGraft:
             out["params"]["ODDC"]["encoder"]["convc1_A"]["kernel"], 5.0)
 
 
+class TestExportRoundTrip:
+    def test_torch_jax_torch_roundtrip(self, rng):
+        """convert(export(v)) == v for a representative variable tree."""
+        from prior_flow_tpu.checkpoint.convert import export_state_dict
+        v = {
+            "params": {
+                "fnet": {"conv1": {"kernel": rng.normal(size=(7, 7, 3, 64)).astype(np.float32),
+                                   "bias": rng.normal(size=(64,)).astype(np.float32)},
+                         "layer2_0": {"downsample_0": {"kernel": rng.normal(size=(1, 1, 64, 96)).astype(np.float32),
+                                                       "bias": np.zeros(96, np.float32)}}},
+                "cnet": {"norm1": {"scale": np.ones(64, np.float32),
+                                   "bias": np.zeros(64, np.float32)}},
+                "ODDC": {"mask_0": {"kernel": rng.normal(size=(3, 3, 128, 256)).astype(np.float32),
+                                    "bias": np.zeros(256, np.float32)}},
+            },
+            "batch_stats": {"cnet": {"norm1": {"mean": np.zeros(64, np.float32),
+                                               "var": np.ones(64, np.float32)}}},
+        }
+        sd = export_state_dict(v)
+        assert "module.fnet.conv1.weight" in sd
+        assert sd["module.fnet.conv1.weight"].shape == (64, 3, 7, 7)
+        assert "module.fnet.layer2.0.downsample.0.weight" in sd
+        assert "module.ODDC.mask.0.weight" in sd
+        assert "module.cnet.norm1.running_mean" in sd
+        back = convert_state_dict(sd, template=v)
+        for coll in v:
+            def flat(t, p=()):
+                o = {}
+                for k, x in t.items():
+                    o.update(flat(x, p + (k,)) if isinstance(x, dict) else {p + (k,): x})
+                return o
+            a, b = flat(v[coll]), flat(back[coll])
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+
 class TestOrbaxRoundTrip:
     def test_train_state_roundtrip(self, tmp_path):
         from prior_flow_tpu.checkpoint.orbax_io import (restore_train_state,
