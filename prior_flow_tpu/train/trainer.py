@@ -222,7 +222,15 @@ class Trainer:
     def run(self, train_loader, state: Optional[TrainState] = None):
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
-        it = train_loader.infinite()
+        # double-buffered host->device prefetch so the next batch's HBM copy
+        # overlaps the current step's compute (SURVEY.md §3.1 hot loop #2)
+        from ..data.loader import device_prefetch
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            sharding = batch_sharding(self.mesh)
+        it = device_prefetch(
+            (tuple(b[:4]) for b in train_loader.infinite()), sharding)
         first = next(it)
         if state is None:
             state = self.init_state(first[0].shape)

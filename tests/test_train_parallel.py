@@ -70,6 +70,22 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
 
 
+class TestDeterminism:
+    def test_same_seed_same_update(self, model_and_state):
+        """Functional PRNG: identical seeds give bit-identical updates
+        (determinism by construction, SURVEY.md §5)."""
+        model, tx, state = model_and_state
+        step_fn = jax.jit(make_train_step(model, tx, iters=2))
+        batch = _batch(1, rng_seed=5)
+        rng = jax.random.PRNGKey(7)
+        s1, m1 = step_fn(state, batch, rng)
+        s2, m2 = step_fn(state, batch, rng)
+        assert float(m1["train/loss"]) == float(m2["train/loss"])
+        l1 = jax.tree_util.tree_leaves(s1.params)[0]
+        l2 = jax.tree_util.tree_leaves(s2.params)[0]
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 class TestMultiChip:
     def test_mesh_creation(self):
         assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
