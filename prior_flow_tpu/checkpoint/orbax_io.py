@@ -27,6 +27,29 @@ def restore_train_state(path: str, template):
         return ckptr.restore(path, template)
 
 
+def restore_any(path: str):
+    """Restore a checkpoint without a structure template (numpy leaves).
+
+    Accepts either a bare variables dict or a full TrainState directory —
+    the inference CLIs use this so a Trainer-produced checkpoint loads
+    directly (its ``params``/``batch_stats`` are extracted by the caller).
+    """
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
+def variables_from_checkpoint(path: str):
+    """Model variables ({params[, batch_stats]}) from any checkpoint layout."""
+    tree = restore_any(path)
+    if "params" not in tree:
+        raise ValueError(
+            f"{path}: no 'params' in checkpoint (keys: {list(tree)})")
+    variables = {"params": tree["params"]}
+    if tree.get("batch_stats"):
+        variables["batch_stats"] = tree["batch_stats"]
+    return variables
+
+
 def save_variables(path: str, variables) -> None:
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, jax.tree_util.tree_map(np.asarray, dict(variables)))

@@ -26,10 +26,12 @@ def load_image(path):
 def load_model_variables(model, ckpt_path, example):
     import jax
 
-    template = model.init(jax.random.PRNGKey(0), example, example, iters=1)
     if os.path.isdir(ckpt_path):
-        from ..checkpoint.orbax_io import restore_variables
-        return restore_variables(ckpt_path, template)
+        # native Orbax checkpoint: either bare variables or a full
+        # Trainer-produced TrainState directory
+        from ..checkpoint.orbax_io import variables_from_checkpoint
+        return variables_from_checkpoint(ckpt_path)
+    template = model.init(jax.random.PRNGKey(0), example, example, iters=1)
     from ..checkpoint.convert import convert_state_dict, load_pth
     return convert_state_dict(load_pth(ckpt_path), template=template)
 

@@ -191,8 +191,8 @@ class Trainer:
             if path is None:
                 return template
         if os.path.isdir(path):
-            from ..checkpoint.orbax_io import restore_variables
-            return restore_variables(path, template)
+            from ..checkpoint.orbax_io import variables_from_checkpoint
+            return variables_from_checkpoint(path)
         from ..checkpoint.convert import (convert_state_dict,
                                           convert_things_ckpt, load_pth)
         sd = load_pth(path)
