@@ -1,3 +1,11 @@
-from .mesh import batch_sharding, make_mesh, replicated, shard_batch
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    make_mesh_2d,
+    replicated,
+    shard_batch,
+    spatial_batch_sharding,
+)
 
-__all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch"]
+__all__ = ["batch_sharding", "make_mesh", "make_mesh_2d", "replicated",
+           "shard_batch", "spatial_batch_sharding"]

@@ -40,9 +40,30 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(dev_array, axis_names)
 
 
+def make_mesh_2d(data: int, space: int) -> Mesh:
+    """2D mesh: 'data' (batch parallelism) x 'space' (spatial parallelism).
+
+    With NHWC inputs sharded P('data', 'space'), XLA SPMD partitions the
+    whole PriOr-RAFT step — convolution halo exchanges, the correlation
+    einsums, and the scan — across the image-height axis as well as batch;
+    verified numerically identical to the single-device step
+    (tests/test_train_parallel.py). This is the honest TPU analog of model
+    parallelism for this all-CNN model (SURVEY.md §2.3): it divides the
+    O((HW/64)^2) correlation volume's query axis across chips.
+    """
+    devices = np.asarray(jax.devices()[: data * space]).reshape(data, space)
+    return Mesh(devices, ("data", "space"))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard dim 0 (batch) across the data axis; rest replicated."""
     return NamedSharding(mesh, P(axis))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (B, H, ...) arrays as P('data', 'space'): batch over the data
+    axis AND image height over the space axis."""
+    return NamedSharding(mesh, P("data", "space"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -135,6 +135,34 @@ class TestMultiChip:
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
 
 
+class TestSpatialSharding:
+    def test_2d_mesh_equals_single_device(self, model_and_state):
+        """data x space (2x4) sharding — batch over 'data', image height over
+        'space' (XLA conv halo exchange) — must reproduce the single-device
+        update exactly."""
+        from prior_flow_tpu.parallel.mesh import (make_mesh_2d,
+                                                  spatial_batch_sharding)
+        model, tx, state = model_and_state
+        batch = _batch(2, rng_seed=13)
+        rng = jax.random.PRNGKey(3)
+        s1, m1 = jax.jit(make_train_step(model, tx, iters=2))(state, batch, rng)
+
+        mesh = make_mesh_2d(2, 4)
+        rep = replicated(mesh)
+        bsh = spatial_batch_sharding(mesh)
+        f = jax.jit(make_train_step(model, tx, iters=2),
+                    in_shardings=(rep, (bsh, bsh, bsh, bsh), rep),
+                    out_shardings=(rep, rep))
+        s2, m2 = f(jax.device_put(state, rep),
+                   tuple(jax.device_put(x, bsh) for x in batch), rng)
+        jax.block_until_ready(s2)
+        np.testing.assert_allclose(float(m1["train/loss"]),
+                                   float(m2["train/loss"]), rtol=1e-5)
+        l1 = jax.tree_util.tree_leaves(s1.params)[0]
+        l2 = jax.tree_util.tree_leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys, os
