@@ -4,6 +4,7 @@ from .rotation import (
     cartesian_to_spherical,
     diverge_zero,
     make_sample_grid,
+    make_sample_grid_sized,
     plane_grid,
     rotate_cartesian,
     rotation_matrix,
@@ -19,6 +20,7 @@ __all__ = [
     "cartesian_to_spherical",
     "diverge_zero",
     "make_sample_grid",
+    "make_sample_grid_sized",
     "plane_grid",
     "rotate_cartesian",
     "rotation_matrix",

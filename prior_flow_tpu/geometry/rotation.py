@@ -98,6 +98,22 @@ def plane_grid(H, W, dtype=np.float64):
     return np.stack([xx, yy], axis=-1)
 
 
+def make_sample_grid_sized(H1, W1, H2, W2, R):
+    """Rotation resampling grid between DIFFERENT ERP resolutions: output
+    pixels of an (H1, W1) image map to source coordinates in an (H2, W2)
+    image (reference ``generate_samplegrid_theta``,
+    projection_prim_ortho.py:470-482)."""
+    grid = plane_grid(H1, W1)
+    theta = erp.m2theta(grid[..., 0], W1)
+    phi = erp.n2phi(grid[..., 1], H1)
+    sph = np.stack([theta, phi], axis=-1)
+    cart_rot = rotate_cartesian(spherical_to_cartesian(sph), R)
+    sph_rot = cartesian_to_spherical(cart_rot)
+    m = erp.theta2m(sph_rot[..., 0], W2)
+    n = erp.phi2n(sph_rot[..., 1], H2)
+    return np.stack([m, n], axis=-1).astype(np.float32)
+
+
 def make_sample_grid(H, W, R):
     """ERP resampling grid for a spherical rotation.
 

@@ -136,9 +136,11 @@ def lookup_window_mxu(vol_l, coords, radius: int):
                          ).astype(vol_l.dtype)  # (B,Q,n,Hl)
     wx = _window_weights(coords[..., 0], Wl, radius, wrap=True
                          ).astype(vol_l.dtype)  # (B,Q,n,Wl)
-    tmp = jnp.einsum("bqjr,bqrc->bqjc", wy, vol_l,
+    # contract columns first: the (B, Q, n, Hl) intermediate is half the
+    # size of the row-first (B, Q, n, Wl) form for ERP volumes (Wl = 2*Hl)
+    tmp = jnp.einsum("bqic,bqrc->bqir", wx, vol_l,
                      preferred_element_type=jnp.float32)
-    out = jnp.einsum("bqjc,bqic->bqij", tmp.astype(vol_l.dtype), wx,
+    out = jnp.einsum("bqir,bqjr->bqij", tmp.astype(vol_l.dtype), wy,
                      preferred_element_type=jnp.float32)
     return out.reshape(B, Q, n * n)
 
