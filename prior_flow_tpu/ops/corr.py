@@ -155,6 +155,9 @@ def sample_image_window_mxu(img, coords, radius: int):
     n = 2 * radius + 1
     wy = _window_weights(coords[..., 1], H, radius, wrap=False)  # (B,Q,n,H)
     wx = _window_weights(coords[..., 0], W, radius, wrap=True)   # (B,Q,n,W)
+    # rows-first contraction: the column-first variant (smaller intermediate)
+    # measured 12% SLOWER end to end here — the (.., W, C) inner layout keeps
+    # the last axis lane-aligned through both contractions
     tmp = jnp.einsum("bqjr,brcd->bqjcd", wy, img,
                      preferred_element_type=jnp.float32)
     out = jnp.einsum("bqjcd,bqic->bqijd", tmp, wx,
