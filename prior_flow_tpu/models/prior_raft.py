@@ -34,7 +34,7 @@ from jax.ad_checkpoint import checkpoint_name
 from ..geometry import grids as gridlib
 from ..nn.encoder import BasicEncoder
 from ..nn.update import BasicMultiUpdateBlock, BasicUpdateBlock
-from ..ops.corr import (DCCL, DCCLOnTheFly, all_pairs_correlation,
+from ..ops.corr import (DCCL, DCCLFused, DCCLOnTheFly, all_pairs_correlation,
                         build_pyramid, groupwise_corr)
 from ..ops.samplers import cycle_bilinear_sample
 from ..ops.warp import flo_rotate, img_rotate
@@ -116,6 +116,11 @@ class PriOrRAFT(nn.Module):
         if self.corr_mode == "onthefly":
             self._dccl = DCCLOnTheFly(num_levels=self.corr_levels,
                                       radius=self.corr_radius)
+        elif self.lookup_mode == "pallas":
+            # fused both-branch lookup: each level volume read once per
+            # iteration by the gather kernel (ops/pallas/dccl_gather.py)
+            self._dccl = DCCLFused(num_levels=self.corr_levels,
+                                   radius=self.corr_radius)
         else:
             self._dccl = DCCL(num_levels=self.corr_levels,
                               radius=self.corr_radius,
@@ -139,10 +144,15 @@ class PriOrRAFT(nn.Module):
         warped_fmap2_B_A = cycle_bilinear_sample(c.fmap2_A, coords1_B_A)
         flaw_B_A = groupwise_corr(c.fmap1_A, warped_fmap2_B_A, num_groups=4)
 
-        corr_A, corr_B_A = self._dccl(coords1_A, c.pyr_A, c.pyr_B,
-                                      c.a2b_w2c_8, c.b2a_8)
-        corr_B, corr_A_B = self._dccl(coords1_B, c.pyr_B, c.pyr_A,
-                                      c.b2a_w2c_8, c.a2b_8)
+        if isinstance(self._dccl, DCCLFused):
+            corr_A, corr_B_A, corr_B, corr_A_B = self._dccl(
+                coords1_A, coords1_B, c.pyr_A, c.pyr_B,
+                c.a2b_w2c_8, c.b2a_w2c_8, c.a2b_8, c.b2a_8)
+        else:
+            corr_A, corr_B_A = self._dccl(coords1_A, c.pyr_A, c.pyr_B,
+                                          c.a2b_w2c_8, c.b2a_8)
+            corr_B, corr_A_B = self._dccl(coords1_B, c.pyr_B, c.pyr_A,
+                                          c.b2a_w2c_8, c.a2b_8)
         # name the lookup results so the remat policy keeps them: DCCL is
         # ~80% of forward time (docs/ARCHITECTURE.md §3) and its inputs are
         # stop_gradiented coords, so saving ~85 MB/iteration avoids the most

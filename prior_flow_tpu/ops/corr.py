@@ -226,16 +226,16 @@ class DCCL:
     def __init__(self, num_levels: int = 4, radius: int = 4,
                  lookup_mode: str = "mxu"):
         """lookup_mode:
-        - 'mxu'    — windowed lookups as dense one-hot matmuls (fast TPU
-                     path; numerically equivalent to 'gather');
-        - 'pallas' — fused Pallas kernel: own+cross lookups per level from
-                     VMEM-resident volume slices (no HBM intermediates).
-                     Inference fast path: the kernel has no custom VJP yet,
-                     so training must use 'mxu' (differentiable einsums);
+        - 'mxu'    — windowed lookups as dense one-hot matmuls (numerically
+                     equivalent to 'gather');
         - 'gather' — take_along_axis gathers mirroring the reference's
                      grid_sample chain call-for-call (parity/debug path).
+
+        The 'pallas' fast path lives in ``DCCLFused`` (both branches fused
+        per level, gather-based kernel with custom VJP) — the model selects
+        it directly for ``lookup_mode='pallas'``.
         """
-        assert lookup_mode in ("mxu", "pallas", "gather")
+        assert lookup_mode in ("mxu", "gather")
         self.num_levels = num_levels
         self.radius = radius
         self.lookup_mode = lookup_mode
@@ -266,15 +266,7 @@ class DCCL:
             # branch's frame by sampling the (1/8-res) rotation grid at the
             # (level-scaled!) coords — reference core/corr.py:132-133,
             # unscaled-by-design for i > 0.
-            if mode == "pallas":
-                from .pallas.dccl_lookup import dccl_level_lookup_pallas
-                coords_other = sample_image_window_mxu(
-                    grid_w2c_8, centers, self.radius)
-                own, cross = dccl_level_lookup_pallas(
-                    pyr_own[i], pyr_other[i], cq[:, :, 0, :], coords_other,
-                    radius=self.radius, level_scale=1.0 / (2.0 ** i),
-                    interpret=jax.default_backend() != "tpu")
-            elif mode == "mxu":
+            if mode == "mxu":
                 own = lookup_window_mxu(pyr_own[i], centers, self.radius)
                 coords_other = sample_image_window_mxu(
                     grid_w2c_8, centers, self.radius)
@@ -293,6 +285,68 @@ class DCCL:
         own = jnp.concatenate(own_out, axis=-1).astype(jnp.float32)
         cross = jnp.concatenate(cross_out, axis=-1).astype(jnp.float32)
         return own, cross
+
+
+class DCCLFused:
+    """Both branches' DCCL in one fused pass per pyramid level.
+
+    Same semantics as two ``DCCL`` calls (core/corr.py:113-144 for each
+    branch) but each level volume is read exactly once: volume A serves
+    branch A's own-window lookup AND branch B's cross-view taps, volume B
+    vice versa. The per-level lookup runs in the gather-based Pallas kernel
+    (ops/pallas/dccl_gather.py) with a custom VJP, so this is the training
+    path too.
+
+    ``__call__(coords_A, coords_B, pyr_A, pyr_B, a2b_w2c_8, b2a_w2c_8,
+    a2b_8, b2a_8)`` returns ``(corr_A, cross_A, corr_B, cross_B)``, each
+    (B, h1, w1, L*(2r+1)^2) float32 — the caller adds own+cross per branch
+    exactly like the reference (core/prior_raft.py:185-188).
+    """
+
+    def __init__(self, num_levels: int = 4, radius: int = 4):
+        self.num_levels = num_levels
+        self.radius = radius
+
+    def __call__(self, coords_A, coords_B, pyr_A: Sequence, pyr_B: Sequence,
+                 a2b_w2c_8, b2a_w2c_8, a2b_8, b2a_8):
+        from .pallas.dccl_gather import dccl_level_lookup
+
+        B, h1, w1, _ = coords_A.shape
+        Q = h1 * w1
+        cqA = coords_A.reshape(B, Q, 2)
+        cqB = coords_B.reshape(B, Q, 2)
+
+        def bcast(g):
+            g = jnp.asarray(g)
+            return jnp.broadcast_to(g, (B,) + g.shape) if g.ndim == 3 else g
+
+        a2b_w2c_8, b2a_w2c_8 = bcast(a2b_w2c_8), bcast(b2a_w2c_8)
+        a2b_8, b2a_8 = bcast(a2b_8), bcast(b2a_8)
+
+        interpret = jax.default_backend() != "tpu"
+        ownA_out, crossA_out, ownB_out, crossB_out = [], [], [], []
+        for i in range(self.num_levels):
+            cenA = cqA / (2.0 ** i)
+            cenB = cqB / (2.0 ** i)
+            # cross-view tap coords: the (1/8-res) rotation grid sampled at
+            # the level-scaled window coords (core/corr.py:132-133, the
+            # unscaled-for-i>0 parity quirk)
+            crossA = sample_image_window_mxu(a2b_w2c_8, cenA, self.radius)
+            crossB = sample_image_window_mxu(b2a_w2c_8, cenB, self.radius)
+            ownA, crossA_v, ownB, crossB_v = dccl_level_lookup(
+                pyr_A[i], pyr_B[i], cenA, cenB, crossA, crossB,
+                1.0, interpret)
+            ownA_out.append(ownA.reshape(B, h1, w1, -1))
+            ownB_out.append(ownB.reshape(B, h1, w1, -1))
+            # rotate each cross result field back into its query frame
+            # (core/corr.py:137-139)
+            crossA_out.append(cycle_bilinear_sample(
+                crossA_v.reshape(B, h1, w1, -1), b2a_8))
+            crossB_out.append(cycle_bilinear_sample(
+                crossB_v.reshape(B, h1, w1, -1), a2b_8))
+
+        cat = lambda xs: jnp.concatenate(xs, axis=-1).astype(jnp.float32)
+        return cat(ownA_out), cat(crossA_out), cat(ownB_out), cat(crossB_out)
 
 
 class DCCLOnTheFly:

@@ -1,3 +1,3 @@
-from .dccl_lookup import dccl_level_lookup_pallas
+from .dccl_gather import dccl_level_lookup, dccl_level_lookup_fused
 
-__all__ = ["dccl_level_lookup_pallas"]
+__all__ = ["dccl_level_lookup", "dccl_level_lookup_fused"]

@@ -140,9 +140,9 @@ class TestMXULookupParity:
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-5)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=5e-5)
 
-    def test_pallas_equals_mxu_interpret(self, rng):
-        """The fused Pallas level kernel (interpret mode on CPU) must match
-        the mxu path."""
+    def test_pallas_fused_equals_two_mxu_calls(self, rng):
+        """DCCLFused (gather kernel, interpret mode on CPU) must match the
+        two-call mxu DCCL for BOTH branches."""
         import jax
         from prior_flow_tpu.geometry import grids
         B, h, w = 1, 8, 16
@@ -152,15 +152,61 @@ class TestMXULookupParity:
         pyrA = C.build_pyramid(jnp.asarray(volA), 4)
         pyrB = C.build_pyramid(jnp.asarray(volB), 4)
         g = grids.rotation_grids(h * 8, w * 8)
-        coords = jnp.asarray(grids.identity_grid(h, w)[None] +
-                             rng.normal(size=(B, h, w, 2)).astype(np.float32) * 5)
+        base = grids.identity_grid(h, w)[None]
+        coordsA = jnp.asarray(base + rng.normal(size=(B, h, w, 2)) * 5
+                              ).astype(jnp.float32)
+        coordsB = jnp.asarray(base + rng.normal(size=(B, h, w, 2)) * 5
+                              ).astype(jnp.float32)
+        a2bw, b2aw = jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_w2c_8)
+        a2b8, b2a8 = jnp.asarray(g.a2b_8), jnp.asarray(g.b2a_8)
         with jax.default_matmul_precision("highest"):
-            o1, c1 = C.DCCL(lookup_mode="mxu")(
-                coords, pyrA, pyrB, jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_8))
-            o2, c2 = C.DCCL(lookup_mode="pallas")(
-                coords, pyrA, pyrB, jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_8))
-        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-5)
-        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=5e-5)
+            oA, cA = C.DCCL(lookup_mode="mxu")(coordsA, pyrA, pyrB, a2bw, b2a8)
+            oB, cB = C.DCCL(lookup_mode="mxu")(coordsB, pyrB, pyrA, b2aw, a2b8)
+            fA, fcA, fB, fcB = C.DCCLFused()(coordsA, coordsB, pyrA, pyrB,
+                                             a2bw, b2aw, a2b8, b2a8)
+        np.testing.assert_allclose(np.asarray(fA), np.asarray(oA), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(fcA), np.asarray(cA), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(fB), np.asarray(oB), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(fcB), np.asarray(cB), atol=5e-5)
+
+    def test_pallas_fused_vjp_matches_autodiff(self, rng):
+        """The custom VJP of the fused kernel (volume grads) must match
+        autodiff through the differentiable mxu formulation."""
+        import jax
+        from prior_flow_tpu.ops.pallas.dccl_gather import dccl_level_lookup
+        B, Q, Hl, Wl = 1, 16, 8, 16
+        volA = jnp.asarray(rng.normal(size=(B, Q, Hl, Wl)).astype(np.float32))
+        volB = jnp.asarray(rng.normal(size=(B, Q, Hl, Wl)).astype(np.float32))
+        cenA = jnp.asarray(np.stack([rng.uniform(-2, Wl + 2, (B, Q)),
+                                     rng.uniform(-2, Hl + 2, (B, Q))],
+                                    -1).astype(np.float32))
+        cenB = jnp.asarray(np.stack([rng.uniform(-2, Wl + 2, (B, Q)),
+                                     rng.uniform(-2, Hl + 2, (B, Q))],
+                                    -1).astype(np.float32))
+        crA = jnp.asarray(np.stack([rng.uniform(-2, Wl + 2, (B, Q, 81)),
+                                    rng.uniform(-2, Hl + 2, (B, Q, 81))],
+                                   -1).astype(np.float32))
+        crB = jnp.asarray(np.stack([rng.uniform(-2, Wl + 2, (B, Q, 81)),
+                                    rng.uniform(-2, Hl + 2, (B, Q, 81))],
+                                   -1).astype(np.float32))
+
+        def loss_fused(vA, vB):
+            outs = dccl_level_lookup(vA, vB, cenA, cenB, crA, crB, 1.0, True)
+            return sum((o * (i + 1)).sum() for i, o in enumerate(outs))
+
+        def loss_ref(vA, vB):
+            oA = C.lookup_window_mxu(vA, cenA, 4).reshape(B, Q, 81)
+            oB = C.lookup_window_mxu(vB, cenB, 4).reshape(B, Q, 81)
+            cA = C.sample_volume_level_mxu(vB, crA)
+            cB = C.sample_volume_level_mxu(vA, crB)
+            return (oA * 1).sum() + (cA * 2).sum() + (oB * 3).sum() + \
+                (cB * 4).sum()
+
+        with jax.default_matmul_precision("highest"):
+            gA, gB = jax.grad(loss_fused, argnums=(0, 1))(volA, volB)
+            rA, rB = jax.grad(loss_ref, argnums=(0, 1))(volA, volB)
+        np.testing.assert_allclose(np.asarray(gA), np.asarray(rA), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gB), np.asarray(rB), atol=2e-4)
 
     def test_sample_volume_level_mxu(self, rng):
         import jax
