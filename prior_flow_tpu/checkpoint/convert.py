@@ -256,6 +256,15 @@ def export_state_dict(variables: Mapping[str, Any],
 
     walk(variables.get("params", {}), (), "params")
     walk(variables.get("batch_stats", {}), (), "batch_stats")
+
+    # the reference registers each strided block's norm3 a second time as
+    # downsample.1 (extractor.py:38-39), so its state_dict carries duplicate
+    # tensors under both names; re-emit the aliases the import path skipped
+    for key in [k for k in out if ".downsample.0." in k]:
+        block = key.split(".downsample.0.")[0]
+        for k2 in [k for k in out if k.startswith(f"{block}.norm3.")]:
+            out[k2.replace(".norm3.", ".downsample.1.")] = out[k2]
+
     if add_module_prefix:
         out = {f"module.{k}": v for k, v in out.items()}
     return out

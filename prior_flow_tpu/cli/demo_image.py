@@ -47,6 +47,11 @@ def main(argv=None):
     parser.add_argument("--dropout", type=float, default=0.0)
     parser.add_argument("--gif", action="store_true",
                         help="also write a side-by-side webp animation")
+    parser.add_argument("--size", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="bilinearly resize inputs before inference "
+                             "(keeps the ERP aspect; flow is reported at "
+                             "the resized resolution)")
     args = parser.parse_args(argv)
 
     import jax
@@ -59,6 +64,11 @@ def main(argv=None):
 
     image1 = jnp.asarray(load_image(args.image1))
     image2 = jnp.asarray(load_image(args.image2))
+    if args.size is not None:
+        H, W = args.size
+        shape = (1, H, W, 3)
+        image1 = jax.image.resize(image1, shape, "bilinear")
+        image2 = jax.image.resize(image2, shape, "bilinear")
 
     model = PriOrRAFT(dropout=args.dropout,
                       mixed_precision=args.mixed_precision)

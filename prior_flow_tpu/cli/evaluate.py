@@ -13,7 +13,8 @@ import argparse
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", required=True, help="checkpoint (.pth or orbax dir)")
-    parser.add_argument("--dataset", choices=["MPFDataset", "FlowScape"],
+    parser.add_argument("--dataset",
+                        choices=["MPFDataset", "FlowScape", "City100"],
                         required=True)
     parser.add_argument("--scene", default="EFT",
                         choices=["City", "EFT", "cloud", "fog", "rain",
@@ -21,7 +22,9 @@ def main(argv=None):
     parser.add_argument("--mixed_precision", action="store_true")
     parser.add_argument("--dropout", type=float, default=0.0)
     parser.add_argument("--regions", action="store_true")
-    parser.add_argument("--iters", type=int, default=12)
+    parser.add_argument("--iters", type=int, default=None,
+                        help="GRU iterations (default 12; 24 for City100, "
+                             "matching the reference validators)")
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--max_samples", type=int, default=None)
     # default to full-precision accumulation: benchmark-grade EPE parity
@@ -43,9 +46,15 @@ def main(argv=None):
     example = jnp.zeros((1, 64, 128, 3), jnp.float32)
     variables = load_model_variables(model, args.model, example)
 
-    kw = dict(iters=args.iters, data_root=args.data_root,
-              max_samples=args.max_samples)
-    if args.dataset == "MPFDataset":
+    default_iters = 24 if args.dataset == "City100" else 12
+    kw = dict(iters=args.iters if args.iters is not None else default_iters,
+              data_root=args.data_root, max_samples=args.max_samples)
+    if args.dataset == "City100":
+        # the reference's validate_city_regions path (evaluate.py:172-230):
+        # City test split with the extra cos-weighted sd_uni metric and an
+        # iters=24 default (evaluate.py:173)
+        E.validate_city_regions(model, variables, **kw)
+    elif args.dataset == "MPFDataset":
         assert args.scene in ("City", "EFT", "all")
         if args.regions:
             E.validate_mpf_regions(model, variables, scene=args.scene, **kw)

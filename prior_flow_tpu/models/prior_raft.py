@@ -226,6 +226,13 @@ class PriOrRAFT(nn.Module):
                 all_pairs_correlation(fmap1_A, fmap2_A), self.corr_levels))
             pyr_B = tuple(p.astype(corr_dtype) for p in build_pyramid(
                 all_pairs_correlation(fmap1_B, fmap2_B), self.corr_levels))
+            if isinstance(self._dccl, DCCLFused):
+                # pack for the gather kernel ONCE, outside the GRU scan —
+                # repacking inside the scan would copy every tile-padded
+                # level each iteration (ops/pallas/dccl_gather.pack_volume)
+                from ..ops.pallas.dccl_gather import pack_volume
+                pyr_A = tuple(pack_volume(p) for p in pyr_A)
+                pyr_B = tuple(pack_volume(p) for p in pyr_B)
 
         # flow initialisation (prior_raft.py:161-165)
         h8, w8 = H // 8, W // 8

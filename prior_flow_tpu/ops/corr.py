@@ -59,8 +59,13 @@ def all_pairs_correlation(fmap1, fmap2):
 
 
 def avg_pool2(x):
-    """2x2 stride-2 mean pooling over the last two axes of (B, Q, H, W)."""
+    """2x2 stride-2 mean pooling over the last two axes of (B, Q, H, W).
+
+    Odd trailing rows/columns are dropped — matching torch's
+    ``F.avg_pool2d(kernel=2, stride=2)`` floor behaviour for odd extents
+    (reference core/corr.py:107-109 on non-pow2 padded images)."""
     B, Q, H, W = x.shape
+    x = x[:, :, :H // 2 * 2, :W // 2 * 2]
     x = x.reshape(B, Q, H // 2, 2, W // 2, 2)
     return x.mean(axis=(3, 5))
 
@@ -303,39 +308,69 @@ class DCCLFused:
     exactly like the reference (core/prior_raft.py:185-188).
     """
 
-    def __init__(self, num_levels: int = 4, radius: int = 4):
+    def __init__(self, num_levels: int = 4, radius: int = 4,
+                 grid_in_kernel: bool = False):
         self.num_levels = num_levels
         self.radius = radius
+        # compute the cross-view window coords inside the kernel instead of
+        # via XLA einsums. Semantically identical; measured SLOWER end to
+        # end on v5e (217 vs 165 ms at 512x1024) — kept for future tuning.
+        self.grid_in_kernel = grid_in_kernel
 
     def __call__(self, coords_A, coords_B, pyr_A: Sequence, pyr_B: Sequence,
                  a2b_w2c_8, b2a_w2c_8, a2b_8, b2a_8):
-        from .pallas.dccl_gather import dccl_level_lookup
+        from .pallas.dccl_gather import (dccl_packed_lookup,
+                                         dccl_packed_lookup_grid,
+                                         pack_volume)
 
         B, h1, w1, _ = coords_A.shape
         Q = h1 * w1
         cqA = coords_A.reshape(B, Q, 2)
         cqB = coords_B.reshape(B, Q, 2)
 
+        gridA = jnp.asarray(a2b_w2c_8)
+        gridB = jnp.asarray(b2a_w2c_8)
+        gridA3 = gridA[0] if gridA.ndim == 4 else gridA
+        gridB3 = gridB[0] if gridB.ndim == 4 else gridB
+
         def bcast(g):
             g = jnp.asarray(g)
             return jnp.broadcast_to(g, (B,) + g.shape) if g.ndim == 3 else g
 
-        a2b_w2c_8, b2a_w2c_8 = bcast(a2b_w2c_8), bcast(b2a_w2c_8)
         a2b_8, b2a_8 = bcast(a2b_8), bcast(b2a_8)
 
         interpret = jax.default_backend() != "tpu"
+        # grids wider than one lane row fall back to XLA-side coord einsums
+        grid_in_kernel = self.grid_in_kernel and gridA3.shape[1] <= 128
         ownA_out, crossA_out, ownB_out, crossB_out = [], [], [], []
         for i in range(self.num_levels):
-            cenA = cqA / (2.0 ** i)
-            cenB = cqB / (2.0 ** i)
-            # cross-view tap coords: the (1/8-res) rotation grid sampled at
-            # the level-scaled window coords (core/corr.py:132-133, the
-            # unscaled-for-i>0 parity quirk)
-            crossA = sample_image_window_mxu(a2b_w2c_8, cenA, self.radius)
-            crossB = sample_image_window_mxu(b2a_w2c_8, cenB, self.radius)
-            ownA, crossA_v, ownB, crossB_v = dccl_level_lookup(
-                pyr_A[i], pyr_B[i], cenA, cenB, crossA, crossB,
-                1.0, interpret)
+            scale = 1.0 / (2.0 ** i)
+            # pyramid entries are either raw (B, Q, Hl, Wl) arrays or
+            # pre-packed (packed, meta) pairs — the model packs ONCE
+            # outside the GRU scan so no per-iteration repack copies occur
+            if isinstance(pyr_A[i], tuple):
+                pA, mA = pyr_A[i]
+                pB, mB = pyr_B[i]
+            else:
+                pA, mA = pack_volume(pyr_A[i])
+                pB, mB = pack_volume(pyr_B[i])
+            if grid_in_kernel:
+                # cross-view tap coords (the 1/8-res rotation grid sampled
+                # at level-scaled window coords, core/corr.py:132-133 with
+                # the unscaled-for-i>0 quirk) are computed INSIDE the kernel
+                ownA, crossA_v, ownB, crossB_v = dccl_packed_lookup_grid(
+                    pA, pB, mA, mB, cqA, cqB, gridA3, gridB3,
+                    scale, interpret)
+            else:
+                cenA = cqA * scale
+                cenB = cqB * scale
+                crossA = sample_image_window_mxu(bcast(gridA3), cenA,
+                                                 self.radius)
+                crossB = sample_image_window_mxu(bcast(gridB3), cenB,
+                                                 self.radius)
+                ownA, crossA_v, ownB, crossB_v = dccl_packed_lookup(
+                    pA, pB, mA, mB, cenA, cenB, crossA, crossB,
+                    1.0, interpret)
             ownA_out.append(ownA.reshape(B, h1, w1, -1))
             ownB_out.append(ownB.reshape(B, h1, w1, -1))
             # rotate each cross result field back into its query frame

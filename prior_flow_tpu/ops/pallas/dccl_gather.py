@@ -129,6 +129,84 @@ def _own_taps(cen, scale):
     return ownx, owny
 
 
+def _grid_window(Gcat, cen, T, Hg, Wg, scale):
+    """In-kernel equivalent of ops.corr.sample_image_window_mxu: sample the
+    (1/8-res) rotation grid at the 81 window coords around the level-scaled
+    centres (reference core/corr.py:132-133 semantics).
+
+    Gcat: (Hg, 256) f32 — x-plane in lanes [0, 128), y-plane in [128, 256)
+    (each zero-padded to 128 lanes, valid width Wg <= 128);
+    cen: (T, 2) f32 unscaled centres.
+    Returns (tapx, tapy): (T, 128) f32 planes, slots k = i*9 + j.
+    """
+    cx = cen[:, 0:1] * scale
+    cy = cen[:, 1:2] * scale
+    y0 = jnp.floor(cy)          # (T, 1)
+    fy = cy - y0
+    tx = cx % Wg
+    x0 = jnp.floor(tx)
+    fx = tx - x0
+
+    # strip rows j in 0..9 at y0 - 4 + j; out-of-range rows one-hot to zero
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (1, 10, 1), 1
+                                    ).astype(jnp.float32) - 4.0
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (T, 10, Hg), 2
+                                    ).astype(jnp.float32)
+    A = (hcol == (y0[:, :, None] + jrow)).astype(jnp.float32)
+    S = jax.lax.dot_general(A.reshape(T * 10, Hg), Gcat,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (T*10, 256)
+
+    # per-tap x columns: c_{i(k)} and c_{i(k)+1} with wrap
+    kk = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
+    ik = jnp.where(kk < NTAP, kk // 9, 0).astype(jnp.float32)
+    c0 = (x0 + ik - 4.0) % Wg                       # (T, 128)
+    c1 = (c0 + 1.0) % Wg
+    mseam = (c0 != (Wg - 1)).astype(jnp.float32)    # corner-2 seam quirk
+
+    def chan_gather(plane, cols):
+        idx = jnp.broadcast_to(cols.astype(jnp.int32)[:, None, :],
+                               (T, 10, LANES)).reshape(T * 10, LANES)
+        return jnp.take_along_axis(plane, idx, axis=1).reshape(T, 10, LANES)
+
+    # constant row-blend masks: tap k uses strip rows k%9 and k%9+1
+    jrows = jax.lax.broadcasted_iota(jnp.int32, (1, 10, 1), 1)
+    kmod = jnp.where(kk < NTAP, kk % 9, 0)[:, None, :]
+    M0 = (jrows == kmod).astype(jnp.float32)
+    M1 = (jrows == kmod + 1).astype(jnp.float32)
+
+    outs = []
+    for c in range(2):
+        plane = S[:, c * LANES:(c + 1) * LANES]
+        P0 = chan_gather(plane, c0)
+        P1 = chan_gather(plane, c1)
+        v00 = jnp.sum(P0 * M0, axis=1)
+        v10 = jnp.sum(P0 * M1, axis=1)
+        v01 = jnp.sum(P1 * M0, axis=1)
+        v11 = jnp.sum(P1 * M1, axis=1)
+        outs.append((1 - fy) * ((1 - fx) * v00 + fx * v01 * mseam)
+                    + fy * ((1 - fx) * v10 + fx * v11 * mseam))
+    return outs[0], outs[1]
+
+
+def _dccl_grid_kernel(cenA_ref, cenB_ref, gA_ref, gB_ref, volA_ref, volB_ref,
+                      ownA_ref, crossA_ref, ownB_ref, crossB_ref,
+                      *, T, R, Hl, Wl, Hg, Wg, scale):
+    """Fully fused level kernel: grid-window coords computed in-kernel."""
+    VA = volA_ref[:].astype(jnp.float32).reshape(T * R, LANES)
+    VB = volB_ref[:].astype(jnp.float32).reshape(T * R, LANES)
+
+    ax, ay = _own_taps(cenA_ref[:], scale)
+    ownA_ref[:] = _sample_taps(VA, T, R, Hl, Wl, ax, ay)
+    bx, by = _own_taps(cenB_ref[:], scale)
+    ownB_ref[:] = _sample_taps(VB, T, R, Hl, Wl, bx, by)
+
+    cAx, cAy = _grid_window(gA_ref[:], cenA_ref[:], T, Hg, Wg, scale)
+    crossA_ref[:] = _sample_taps(VB, T, R, Hl, Wl, cAx, cAy)
+    cBx, cBy = _grid_window(gB_ref[:], cenB_ref[:], T, Hg, Wg, scale)
+    crossB_ref[:] = _sample_taps(VA, T, R, Hl, Wl, cBx, cBy)
+
+
 def _dccl_kernel(cenA_ref, cenB_ref, cAx_ref, cAy_ref, cBx_ref, cBy_ref,
                  volA_ref, volB_ref,
                  ownA_ref, crossA_ref, ownB_ref, crossB_ref,
@@ -146,10 +224,9 @@ def _dccl_kernel(cenA_ref, cenB_ref, cAx_ref, cAy_ref, cBx_ref, cBy_ref,
     crossA_ref[:] = _sample_taps(VB, T, R, Hl, Wl, cAx_ref[:], cAy_ref[:])
 
 
-def _pick_tile(BQ: int, R: int) -> int:
+def _pick_tile(BQ: int, R: int, budget: int = 4 * 1024 * 1024) -> int:
     """Largest dividing tile whose two volume tiles (bf16 in + f32 upcast)
-    stay within a ~4 MB VMEM budget per grid step."""
-    budget = 4 * 1024 * 1024
+    stay within the VMEM budget per grid step."""
     for t in (32, 16, 8, 4, 2, 1):
         if BQ % t == 0 and 2 * t * R * LANES * 6 <= budget:
             return t
@@ -161,36 +238,34 @@ def _pad_taps(c):
     return jnp.pad(c.astype(jnp.float32), ((0, 0), (0, LANES - NTAP)))
 
 
-def dccl_level_lookup_fused(vol_A, vol_B, cen_A, cen_B, cross_A, cross_B,
-                            level_scale: float = 1.0,
-                            interpret: bool = False):
-    """Fused own+cross DCCL lookup for one pyramid level, both branches.
+def pack_volume(vol):
+    """(B, Q, Hl, Wl) volume level -> (packed, meta).
 
-    vol_A, vol_B: (B, Q, Hl, Wl) volume level (any float dtype);
-    cen_A, cen_B: (B, Q, 2) UNSCALED 1/8-res window centres (scaled by
-    ``level_scale`` in-kernel, core/corr.py:123);
-    cross_A, cross_B: (B, Q, 81, 2) cross-view tap coords — branch A's taps
-    index volume B and vice versa (core/corr.py:132-136).
-    Returns (own_A, cross_A, own_B, cross_B): each (B, Q, 81) float32 with
-    tap order k = i*9 + j.
+    packed: (B*Q, R, 128) lane rows (a FREE reshape for pow2 ERP extents, a
+    zero-padded copy otherwise); meta: a zero-size (0, Hl, Wl) array of the
+    volume dtype carrying the static extents. Pack ONCE per forward, outside
+    the GRU scan — repacking per iteration costs a real HBM copy for every
+    level whose minor dims are tile-padded.
     """
-    B, Q, Hl, Wl = vol_A.shape
+    B, Q, Hl, Wl = vol.shape
     BQ = B * Q
     R = max(1, -(-(Hl * Wl) // LANES))
     R2 = 1
     while R2 < R:
         R2 *= 2
     if Hl * Wl == R2 * LANES:
-        # the common case (pow2 ERP extents): packing is a FREE reshape
-        volA = vol_A.reshape(BQ, R2, LANES)
-        volB = vol_B.reshape(BQ, R2, LANES)
+        packed = vol.reshape(BQ, R2, LANES)
     else:
-        # ragged extents (odd padded images): zero-pad the flat volume to a
-        # power-of-two number of lane rows (costs one HBM copy per level)
         pad = ((0, 0), (0, R2 * LANES - Hl * Wl))
-        volA = jnp.pad(vol_A.reshape(BQ, Hl * Wl), pad).reshape(BQ, R2, LANES)
-        volB = jnp.pad(vol_B.reshape(BQ, Hl * Wl), pad).reshape(BQ, R2, LANES)
-    R = R2
+        packed = jnp.pad(vol.reshape(BQ, Hl * Wl), pad).reshape(BQ, R2, LANES)
+    meta = jnp.zeros((0, Hl, Wl), vol.dtype)
+    return packed, meta
+
+
+def _packed_call_coords(pA, pB, Hl, Wl, cen_A, cen_B, cross_A, cross_B,
+                        level_scale, interpret):
+    BQ, R, _ = pA.shape
+    B, Q = cen_A.shape[:2]
     T = _pick_tile(BQ, R)
     cenA = cen_A.reshape(BQ, 2).astype(jnp.float32)
     cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
@@ -222,9 +297,101 @@ def dccl_level_lookup_fused(vol_A, vol_B, cen_A, cen_B, cross_A, cross_B,
         out_shape=tuple(
             jax.ShapeDtypeStruct((BQ, LANES), jnp.float32) for _ in range(4)),
         interpret=interpret,
-    )(cenA, cenB, cAx, cAy, cBx, cBy, volA, volB)
+    )(cenA, cenB, cAx, cAy, cBx, cBy, pA, pB)
 
     return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs)
+
+
+def dccl_level_lookup_fused(vol_A, vol_B, cen_A, cen_B, cross_A, cross_B,
+                            level_scale: float = 1.0,
+                            interpret: bool = False):
+    """Fused own+cross DCCL lookup for one pyramid level, both branches.
+
+    vol_A, vol_B: (B, Q, Hl, Wl) volume level (any float dtype);
+    cen_A, cen_B: (B, Q, 2) UNSCALED 1/8-res window centres (scaled by
+    ``level_scale`` in-kernel, core/corr.py:123);
+    cross_A, cross_B: (B, Q, 81, 2) cross-view tap coords — branch A's taps
+    index volume B and vice versa (core/corr.py:132-136).
+    Returns (own_A, cross_A, own_B, cross_B): each (B, Q, 81) float32 with
+    tap order k = i*9 + j.
+    """
+    Hl, Wl = vol_A.shape[2:]
+    pA, _ = pack_volume(vol_A)
+    pB, _ = pack_volume(vol_B)
+    return _packed_call_coords(pA, pB, Hl, Wl, cen_A, cen_B,
+                               cross_A, cross_B, level_scale, interpret)
+
+
+def _pack_volumes(vol_A, vol_B):
+    pA, _ = pack_volume(vol_A)
+    pB, _ = pack_volume(vol_B)
+    return pA, pB, pA.shape[1]
+
+
+def pack_grid_planes(grid):
+    """(Hg, Wg, 2) rotation grid -> (Hg, 256) f32 [x-plane | y-plane], each
+    zero-padded to 128 lanes. Input to the grid-fused kernel."""
+    Hg, Wg, _ = grid.shape
+    assert Wg <= LANES, f"grid width {Wg} exceeds one lane row"
+    g = jnp.pad(grid.astype(jnp.float32), ((0, 0), (0, LANES - Wg), (0, 0)))
+    return jnp.concatenate([g[..., 0], g[..., 1]], axis=1)
+
+
+def dccl_level_lookup_grid_fused(vol_A, vol_B, cen_A, cen_B, grid_A, grid_B,
+                                 level_scale: float = 1.0,
+                                 interpret: bool = False):
+    """Fully fused own+cross DCCL lookup for one level, both branches, with
+    the cross-view grid-window sampling (core/corr.py:132-133) computed
+    in-kernel from the rotation grids — no coordinate round-trips through
+    HBM and no grid-sampling einsums.
+
+    vol_A, vol_B: (B, Q, Hl, Wl); cen_A, cen_B: (B, Q, 2) UNSCALED 1/8-res
+    coords (scaled by ``level_scale`` in-kernel, the i>0 parity quirk);
+    grid_A, grid_B: (Hg, Wg, 2) A->B / B->A world-to-camera rotation grids
+    (Wg <= 128). Returns (own_A, cross_A, own_B, cross_B), each (B, Q, 81)
+    f32 with tap order k = i*9 + j.
+    """
+    B, Q, Hl, Wl = vol_A.shape
+    BQ = B * Q
+    volA, volB, R = _pack_volumes(vol_A, vol_B)
+    # the in-kernel grid stage adds per-tile strip/gather buffers: halve the
+    # volume-tile budget so double buffering still fits VMEM
+    T = _pick_tile(BQ, R, budget=2 * 1024 * 1024)
+    Hg, Wg, _ = grid_A.shape
+    gcatA = pack_grid_planes(grid_A)
+    gcatB = pack_grid_planes(grid_B)
+    cenA = cen_A.reshape(BQ, 2).astype(jnp.float32)
+    cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
+    outs = _grid_call(volA, volB, cenA, cenB, gcatA, gcatB, BQ, R, T,
+                      Hl, Wl, Hg, Wg, float(level_scale), interpret)
+    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs)
+
+
+def _grid_call(volA, volB, cenA, cenB, gcat_A, gcat_B, BQ, R, T,
+               Hl, Wl, Hg, Wg, scale, interpret):
+    kern = functools.partial(_dccl_grid_kernel, T=T, R=R, Hl=Hl, Wl=Wl,
+                             Hg=Hg, Wg=Wg, scale=scale)
+    row = lambda q: (q, 0)
+    vol3 = lambda q: (q, 0, 0)
+    const2 = lambda q: (0, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(BQ // T,),
+        in_specs=[
+            pl.BlockSpec((T, 2), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 2), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hg, 2 * LANES), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hg, 2 * LANES), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, R, LANES), vol3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, R, LANES), vol3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((T, LANES), row, memory_space=pltpu.VMEM)
+            for _ in range(4)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((BQ, LANES), jnp.float32) for _ in range(4)),
+        interpret=interpret,
+    )(cenA, cenB, gcat_A, gcat_B, volA, volB)
 
 
 # ---------------------------------------------------------------------------
@@ -274,55 +441,157 @@ def _scatter_grads(g, tapx, tapy, Hl, Wl, dtype):
     return dv.astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def dccl_level_lookup(vol_A, vol_B, cen_A, cen_B, cross_A, cross_B,
-                      level_scale: float = 1.0, interpret: bool = False):
-    """Differentiable fused DCCL level lookup (see dccl_level_lookup_fused).
-
-    Gradients propagate to ``vol_A``/``vol_B`` only; the coordinate inputs
-    are treated as constants (they are stop_gradiented in the model step,
-    mirroring the reference's per-iteration ``coords1.detach()``,
-    core/prior_raft.py:171-177).
-    """
-    return dccl_level_lookup_fused(vol_A, vol_B, cen_A, cen_B,
-                                   cross_A, cross_B, level_scale, interpret)
+def _repack(dv):
+    """(B, Q, Hl, Wl) scatter result -> packed (B*Q, R, 128) cotangent."""
+    p, _ = pack_volume(dv)
+    return p
 
 
-def _fwd(vol_A, vol_B, cen_A, cen_B, cross_A, cross_B, level_scale,
-         interpret):
-    out = dccl_level_lookup_fused(vol_A, vol_B, cen_A, cen_B,
-                                  cross_A, cross_B, level_scale, interpret)
-    # zero-size sentinels carry the static (Hl, Wl) extents and dtypes into
-    # the backward pass (plain shapes/dtypes are not valid residual leaves)
-    sentA = jnp.zeros((0,) + vol_A.shape[2:], vol_A.dtype)
-    sentB = jnp.zeros((0,) + vol_B.shape[2:], vol_B.dtype)
-    res = (cen_A, cen_B, cross_A, cross_B, sentA, sentB)
-    return out, res
-
-
-def _bwd(level_scale, interpret, res, cts):
-    cen_A, cen_B, cross_A, cross_B, sentA, sentB = res
-    g_ownA, g_crossA, g_ownB, g_crossB = cts
-    dtA, dtB = sentA.dtype, sentB.dtype
-    B, Q = cen_A.shape[:2]
-    _, Hl, Wl = sentA.shape
-
+def _own_tap_coords(cen, level_scale):
     kk = jnp.arange(NTAP)
     ii = (kk // 9).astype(jnp.float32) - 4.0
     jj = (kk % 9).astype(jnp.float32) - 4.0
-    ownAx = cen_A[..., 0:1] * level_scale + ii
-    ownAy = cen_A[..., 1:2] * level_scale + jj
-    ownBx = cen_B[..., 0:1] * level_scale + ii
-    ownBy = cen_B[..., 1:2] * level_scale + jj
+    return (cen[..., 0:1] * level_scale + ii,
+            cen[..., 1:2] * level_scale + jj)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def dccl_packed_lookup(pA, pB, meta_A, meta_B, cen_A, cen_B,
+                       cross_A, cross_B, level_scale: float = 1.0,
+                       interpret: bool = False):
+    """Differentiable fused DCCL level lookup on PRE-PACKED volumes.
+
+    pA, pB: ``pack_volume`` outputs (B*Q, R, 128); meta_A/meta_B their
+    zero-size extent carriers. Gradients propagate to the packed volumes
+    only; coordinates are constants (they are stop_gradiented in the model
+    step, mirroring the reference's per-iteration ``coords1.detach()``,
+    core/prior_raft.py:171-177).
+    """
+    _, Hl, Wl = meta_A.shape
+    return _packed_call_coords(pA, pB, Hl, Wl, cen_A, cen_B,
+                               cross_A, cross_B, level_scale, interpret)
+
+
+def _packed_fwd(pA, pB, meta_A, meta_B, cen_A, cen_B, cross_A, cross_B,
+                level_scale, interpret):
+    _, Hl, Wl = meta_A.shape
+    out = _packed_call_coords(pA, pB, Hl, Wl, cen_A, cen_B,
+                              cross_A, cross_B, level_scale, interpret)
+    return out, (meta_A, meta_B, cen_A, cen_B, cross_A, cross_B)
+
+
+def _packed_bwd(level_scale, interpret, res, cts):
+    meta_A, meta_B, cen_A, cen_B, cross_A, cross_B = res
+    g_ownA, g_crossA, g_ownB, g_crossB = cts
+    _, Hl, Wl = meta_A.shape
+
+    ownAx, ownAy = _own_tap_coords(cen_A, level_scale)
+    ownBx, ownBy = _own_tap_coords(cen_B, level_scale)
 
     # volume A receives branch A's own-window grads and branch B's cross
-    d_volA = (_scatter_grads(g_ownA, ownAx, ownAy, Hl, Wl, dtA)
-              + _scatter_grads(g_crossB, cross_B[..., 0], cross_B[..., 1],
-                               Hl, Wl, dtA))
-    d_volB = (_scatter_grads(g_ownB, ownBx, ownBy, Hl, Wl, dtB)
-              + _scatter_grads(g_crossA, cross_A[..., 0], cross_A[..., 1],
-                               Hl, Wl, dtB))
-    return (d_volA, d_volB, None, None, None, None)
+    d_pA = _repack(
+        _scatter_grads(g_ownA, ownAx, ownAy, Hl, Wl, meta_A.dtype)
+        + _scatter_grads(g_crossB, cross_B[..., 0], cross_B[..., 1],
+                         Hl, Wl, meta_A.dtype))
+    d_pB = _repack(
+        _scatter_grads(g_ownB, ownBx, ownBy, Hl, Wl, meta_B.dtype)
+        + _scatter_grads(g_crossA, cross_A[..., 0], cross_A[..., 1],
+                         Hl, Wl, meta_B.dtype))
+    return (d_pA, d_pB, None, None, None, None, None, None)
 
 
-dccl_level_lookup.defvjp(_fwd, _bwd)
+dccl_packed_lookup.defvjp(_packed_fwd, _packed_bwd)
+
+
+def _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
+                        level_scale, interpret):
+    _, Hl, Wl = meta_A.shape
+    BQ, R, _ = pA.shape
+    B, Q = cen_A.shape[:2]
+    T = _pick_tile(BQ, R, budget=2 * 1024 * 1024)
+    Hg, Wg, _ = grid_A.shape
+    gcatA = pack_grid_planes(grid_A)
+    gcatB = pack_grid_planes(grid_B)
+    cenA = cen_A.reshape(BQ, 2).astype(jnp.float32)
+    cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
+    outs = _grid_call(pA, pB, cenA, cenB, gcatA, gcatB, BQ, R, T,
+                      Hl, Wl, Hg, Wg, float(level_scale), interpret)
+    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def dccl_packed_lookup_grid(pA, pB, meta_A, meta_B, cen_A, cen_B,
+                            grid_A, grid_B, level_scale: float = 1.0,
+                            interpret: bool = False):
+    """``dccl_packed_lookup`` with the cross-view grid-window sampling
+    computed in-kernel (see dccl_level_lookup_grid_fused)."""
+    return _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
+                               level_scale, interpret)
+
+
+def _packed_grid_fwd(pA, pB, meta_A, meta_B, cen_A, cen_B, grid_A, grid_B,
+                     level_scale, interpret):
+    out = _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
+                              level_scale, interpret)
+    return out, (meta_A, meta_B, cen_A, cen_B, grid_A, grid_B)
+
+
+def _packed_grid_bwd(level_scale, interpret, res, cts):
+    from ..corr import sample_image_window_mxu
+
+    meta_A, meta_B, cen_A, cen_B, grid_A, grid_B = res
+    g_ownA, g_crossA, g_ownB, g_crossB = cts
+    _, Hl, Wl = meta_A.shape
+    B = cen_A.shape[0]
+
+    # rebuild the cross-view tap coords exactly as the forward kernel did;
+    # 'highest' so they match the kernel's exact-f32 ones (default TPU
+    # matmul precision rounds operands to bf16)
+    cenAs = cen_A * level_scale
+    cenBs = cen_B * level_scale
+    gA = jnp.broadcast_to(grid_A, (B,) + grid_A.shape)
+    gB = jnp.broadcast_to(grid_B, (B,) + grid_B.shape)
+    with jax.default_matmul_precision("highest"):
+        cross_A = sample_image_window_mxu(gA, cenAs, 4)
+        cross_B = sample_image_window_mxu(gB, cenBs, 4)
+
+    ownAx, ownAy = _own_tap_coords(cen_A, level_scale)
+    ownBx, ownBy = _own_tap_coords(cen_B, level_scale)
+    d_pA = _repack(
+        _scatter_grads(g_ownA, ownAx, ownAy, Hl, Wl, meta_A.dtype)
+        + _scatter_grads(g_crossB, cross_B[..., 0], cross_B[..., 1],
+                         Hl, Wl, meta_A.dtype))
+    d_pB = _repack(
+        _scatter_grads(g_ownB, ownBx, ownBy, Hl, Wl, meta_B.dtype)
+        + _scatter_grads(g_crossA, cross_A[..., 0], cross_A[..., 1],
+                         Hl, Wl, meta_B.dtype))
+    return (d_pA, d_pB, None, None, None, None, None, None)
+
+
+dccl_packed_lookup_grid.defvjp(_packed_grid_fwd, _packed_grid_bwd)
+
+
+# --------------------------- 4D convenience API ----------------------------
+
+def dccl_level_lookup(vol_A, vol_B, cen_A, cen_B, cross_A, cross_B,
+                      level_scale: float = 1.0, interpret: bool = False):
+    """Differentiable fused DCCL level lookup on (B, Q, Hl, Wl) volumes.
+
+    Thin wrapper over ``dccl_packed_lookup``; volume gradients flow back
+    through the (reshape/pad) packing automatically.
+    """
+    pA, mA = pack_volume(vol_A)
+    pB, mB = pack_volume(vol_B)
+    return dccl_packed_lookup(pA, pB, mA, mB, cen_A, cen_B,
+                              cross_A, cross_B, level_scale, interpret)
+
+
+def dccl_level_lookup_grid(vol_A, vol_B, cen_A, cen_B, grid_A, grid_B,
+                           level_scale: float = 1.0,
+                           interpret: bool = False):
+    """Differentiable fully-fused DCCL level lookup (grid sampling
+    in-kernel) on (B, Q, Hl, Wl) volumes."""
+    pA, mA = pack_volume(vol_A)
+    pB, mB = pack_volume(vol_B)
+    return dccl_packed_lookup_grid(pA, pB, mA, mB, cen_A, cen_B,
+                                   grid_A, grid_B, level_scale, interpret)

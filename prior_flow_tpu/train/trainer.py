@@ -156,15 +156,37 @@ class Trainer:
         self.tx, self.schedule = make_optimizer(
             cfg.lr, cfg.num_steps, cfg.wdecay, cfg.epsilon, cfg.clip)
         self._step_fn = None
+        self._panel_fn = None
 
     def init_state(self, sample_shape) -> TrainState:
         B, H, W, C = sample_shape
         rng = jax.random.PRNGKey(self.cfg.seed)
         dummy = jnp.zeros((1, H, W, C), jnp.float32)
         variables = self.model.init(rng, dummy, dummy, iters=1)
-        if self.cfg.restore_ckpt:
+        state = TrainState.create(variables, self.tx)
+
+        path = self.cfg.restore_ckpt
+        if not path:
+            return state
+        if path == "auto":
+            path = self._latest_checkpoint()
+            if path is None:
+                return state
+        if os.path.isdir(path):
+            from ..checkpoint.orbax_io import restore_any, restore_train_state
+            tree = restore_any(path)
+            if all(k in tree for k in ("params", "opt_state", "step")):
+                # FULL train-state resume: optimizer moments, the OneCycle
+                # schedule position and the step counter all carry over —
+                # the reference can only reload weights (train_flow.py:99-104)
+                return restore_train_state(path, state)
+            variables = {"params": tree["params"]}
+            if tree.get("batch_stats"):
+                variables["batch_stats"] = tree["batch_stats"]
+        else:
             variables = self._restore(variables)
-        return TrainState.create(variables, self.tx)
+        return state.replace(params=variables["params"],
+                             batch_stats=variables.get("batch_stats", {}))
 
     def _latest_checkpoint(self):
         """Most recent step checkpoint under save_path (auto-resume — an
@@ -181,21 +203,12 @@ class Trainer:
         return os.path.join(root, max(steps, key=int))
 
     def _restore(self, template):
-        """Restore weights: native Orbax dir, exact .pth, or FlyingThings
+        """Restore weights from a .pth file: exact load or FlyingThings
         graft — the reference's try/except restore chain
-        (train_flow.py:99-104). ``restore_ckpt='auto'`` resumes from the
-        latest checkpoint in save_path."""
-        path = self.cfg.restore_ckpt
-        if path == "auto":
-            path = self._latest_checkpoint()
-            if path is None:
-                return template
-        if os.path.isdir(path):
-            from ..checkpoint.orbax_io import variables_from_checkpoint
-            return variables_from_checkpoint(path)
+        (train_flow.py:99-104)."""
         from ..checkpoint.convert import (convert_state_dict,
                                           convert_things_ckpt, load_pth)
-        sd = load_pth(path)
+        sd = load_pth(self.cfg.restore_ckpt)
         try:
             return convert_state_dict(sd, template=template)
         except ValueError:
@@ -236,11 +249,14 @@ class Trainer:
             state = self.init_state(first[0].shape)
 
         step_fn = self.compile_step(state, first)
-        total_steps = 0
+        # resume-aware: a restored full TrainState continues from its step
+        total_steps = int(state.step)
         batch = first
         t_last = time.perf_counter()
         while total_steps <= cfg.num_steps:
-            rng, step_rng = jax.random.split(rng)
+            # keyed by absolute step: the rng stream is identical whether a
+            # run is uninterrupted or resumed from a checkpoint
+            step_rng = jax.random.fold_in(rng, total_steps)
             arrays = tuple(jnp.asarray(x) for x in batch[:4])
             state, metrics = step_fn(state, arrays, step_rng)
 
@@ -282,9 +298,16 @@ class Trainer:
         from ..utils.flow_viz import omniflow_to_image
 
         image1, image2, flow_gt = batch[0][:1], batch[1][:1], batch[2][:1]
-        preds_A, preds_B = self.model.apply(
-            state.variables, jnp.asarray(image1), jnp.asarray(image2),
-            iters=self.cfg.iters)
+        if self._panel_fn is None:
+            # jitted and cached: an op-by-op 12-iteration forward at full
+            # resolution would stall the train loop for minutes every
+            # IMAGE_LOG_FREQ steps (the reference pays this too — its panel
+            # forward reruns the model inside wandb logging)
+            self._panel_fn = jax.jit(
+                lambda v, a, b: self.model.apply(v, a, b,
+                                                 iters=self.cfg.iters))
+        preds_A, preds_B = self._panel_fn(
+            state.variables, jnp.asarray(image1), jnp.asarray(image2))
         panels = {
             "image1": np.asarray(image1[0]),
             "image2": np.asarray(image2[0]),

@@ -47,6 +47,37 @@ class TestEvaluateCLI:
 
 
 class TestDemoImageCLI:
+    def test_demo_frames_end_to_end(self, tmp_path):
+        """demo_image on the bundled demo-frames/ pair (the reference's
+        demo_image.py:20-42 smoke path): random-init checkpoint, downscaled
+        inference, a real flow_pr.png written."""
+        import os
+
+        import jax
+
+        from prior_flow_tpu.checkpoint.orbax_io import save_variables
+        from prior_flow_tpu.cli import demo_image
+        from prior_flow_tpu.models import PriOrRAFT
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        f1 = os.path.join(repo, "demo-frames", "frame1.png")
+        f2 = os.path.join(repo, "demo-frames", "frame2.png")
+
+        import jax.numpy as jnp
+        model = PriOrRAFT()
+        dummy = jnp.zeros((1, 32, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), dummy, dummy, iters=1)
+        ckpt = str(tmp_path / "ckpt")
+        save_variables(ckpt, variables)
+
+        out = str(tmp_path / "flow_pr.png")
+        demo_image.main(["--model", ckpt, "--image1", f1, "--image2", f2,
+                         "--output", out, "--iters", "2",
+                         "--size", "32", "64"])
+        import cv2
+        vis = cv2.imread(out)
+        assert vis is not None and vis.shape == (32, 64, 3)
+
     def test_load_image(self, rng, tmp_path):
         import cv2
         from prior_flow_tpu.cli.demo_image import load_image

@@ -162,12 +162,18 @@ class TestMXULookupParity:
         with jax.default_matmul_precision("highest"):
             oA, cA = C.DCCL(lookup_mode="mxu")(coordsA, pyrA, pyrB, a2bw, b2a8)
             oB, cB = C.DCCL(lookup_mode="mxu")(coordsB, pyrB, pyrA, b2aw, a2b8)
-            fA, fcA, fB, fcB = C.DCCLFused()(coordsA, coordsB, pyrA, pyrB,
-                                             a2bw, b2aw, a2b8, b2a8)
-        np.testing.assert_allclose(np.asarray(fA), np.asarray(oA), atol=5e-5)
-        np.testing.assert_allclose(np.asarray(fcA), np.asarray(cA), atol=5e-5)
-        np.testing.assert_allclose(np.asarray(fB), np.asarray(oB), atol=5e-5)
-        np.testing.assert_allclose(np.asarray(fcB), np.asarray(cB), atol=5e-5)
+            for grid_in_kernel in (False, True):
+                fA, fcA, fB, fcB = C.DCCLFused(
+                    grid_in_kernel=grid_in_kernel)(
+                        coordsA, coordsB, pyrA, pyrB, a2bw, b2aw, a2b8, b2a8)
+                np.testing.assert_allclose(np.asarray(fA), np.asarray(oA),
+                                           atol=5e-5)
+                np.testing.assert_allclose(np.asarray(fcA), np.asarray(cA),
+                                           atol=5e-5)
+                np.testing.assert_allclose(np.asarray(fB), np.asarray(oB),
+                                           atol=5e-5)
+                np.testing.assert_allclose(np.asarray(fcB), np.asarray(cB),
+                                           atol=5e-5)
 
     def test_pallas_fused_vjp_matches_autodiff(self, rng):
         """The custom VJP of the fused kernel (volume grads) must match

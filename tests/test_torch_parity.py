@@ -144,6 +144,84 @@ class TestModelParity:
             f"max err {err.max():.4g} vs flow scale {scale:.4g}")
         assert np.median(err) < 1e-3 * scale + 1e-4
 
+    def test_12iter_parity_with_error_growth_gate(self, ref_modules,
+                                                  torch_model, pair):
+        """Full 12-iteration parity (the reference's deployed iteration
+        count, prior_raft.py:107) with a per-iteration error-growth check:
+        the recurrent loop must not amplify numerical divergence, and the
+        final iterate must agree to <0.5% of the flow scale — a much
+        tighter gate than the 3-iter/2% smoke bound above."""
+        import jax
+        import jax.numpy as jnp
+        from prior_flow_tpu.checkpoint import convert_state_dict
+        from prior_flow_tpu.models import PriOrRAFT
+
+        torch = ref_modules.torch
+        img1, img2 = pair
+        t1 = torch.from_numpy(np.transpose(img1, (0, 3, 1, 2)))
+        t2 = torch.from_numpy(np.transpose(img2, (0, 3, 1, 2)))
+        with torch.no_grad():
+            ref_A, ref_B = torch_model(t1, t2, iters=12)
+
+        model = PriOrRAFT(precision="highest")
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.asarray(img1), jnp.asarray(img2), iters=1)
+        variables = convert_state_dict(torch_model.state_dict(),
+                                       template=template)
+        ours_A, ours_B = model.apply(
+            variables, jnp.asarray(img1), jnp.asarray(img2), iters=12)
+
+        rel = []
+        for i in range(12):
+            ref = np.transpose(_np(ref_A[i]), (0, 2, 3, 1))
+            scale = np.abs(ref).max() + 1e-6
+            rel.append(np.abs(np.asarray(ours_A[i]) - ref).max() / scale)
+        # final-iterate gate: <0.5% of flow scale after 12 recurrent steps
+        assert rel[-1] < 0.005, f"iter-12 rel err {rel[-1]:.4g}"
+        # growth gate: no catastrophic compounding across the recurrence —
+        # every iterate stays within the final gate's envelope
+        assert max(rel) < 0.01, f"per-iter rel errs {np.round(rel, 5)}"
+        # B-branch final iterate under the same gate
+        refB = np.transpose(_np(ref_B[-1]), (0, 2, 3, 1))
+        scaleB = np.abs(refB).max() + 1e-6
+        assert np.abs(np.asarray(ours_B[-1]) - refB).max() / scaleB < 0.005
+
+    def test_export_round_trip_through_reference(self, ref_modules,
+                                                 torch_model, pair):
+        """convert_state_dict -> export_state_dict must land back in the
+        reference model via load_state_dict(strict=True) with every tensor
+        bitwise equal (checkpoint/convert.py export path)."""
+        import jax
+        import jax.numpy as jnp
+        from prior_flow_tpu.checkpoint import convert_state_dict
+        from prior_flow_tpu.checkpoint.convert import export_state_dict
+        from prior_flow_tpu.models import PriOrRAFT
+
+        torch = ref_modules.torch
+        img1, img2 = pair
+        model = PriOrRAFT(precision="highest")
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.asarray(img1), jnp.asarray(img2), iters=1)
+        sd0 = torch_model.state_dict()
+        variables = convert_state_dict(sd0, template=template)
+        sd1 = export_state_dict(variables, add_module_prefix=False)
+
+        fresh = ref_modules.prior_raft.PriOr_RAFT(
+            SimpleNamespace(dropout=0.0, mixed_precision=False))
+        res = fresh.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in sd1.items()}, strict=False)
+        # the only keys Flax has no counterpart for are BN bookkeeping
+        assert all(k.endswith("num_batches_tracked")
+                   for k in res.missing_keys), res.missing_keys
+        assert not res.unexpected_keys, res.unexpected_keys
+        for k in sd0:
+            if k.endswith("num_batches_tracked"):
+                continue
+            np.testing.assert_array_equal(
+                _np(sd0[k]), np.asarray(sd1[k]),
+                err_msg=f"round-trip mismatch at {k}")
+
     def test_training_mode_predictions_parity(self, ref_modules, torch_model, pair):
         import jax
         import jax.numpy as jnp

@@ -45,6 +45,54 @@ class TestTrainerEndToEnd:
         assert np.isfinite(logged[0][1]["train/loss"])
 
 
+class TestFullStateResume:
+    def test_resume_equals_uninterrupted(self, tmp_path):
+        """Train N -> save -> resume -> train M  ==  train N+M straight:
+        params bitwise-close, optimizer moments and step counter carried
+        (the reference loses optimizer/schedule state on restart,
+        train_flow.py:99-104 — full resume is our upgrade, and this test is
+        what makes the claim true)."""
+        import jax
+
+        root = _make_mpf_tree(str(tmp_path / "data"), n=1, H=H, W=W)
+        os.rename(os.path.join(root, "EFTs_Car100"),
+                  os.path.join(root, "EFTs_Car2000"))
+
+        def make(save_path, restore=None, num_steps=3):
+            cfg = TrainerConfig(stage="EFT", lr=1e-4, num_steps=num_steps,
+                                batch_size=1, iters=1, val_freq=2,
+                                save_path=save_path, restore_ckpt=restore,
+                                data_root=root)
+            model = PriOrRAFT(remat=True)
+            return Trainer(model, cfg)
+
+        def loader():
+            ds = fetch_dataset("EFT", root)
+            return DataLoader(ds, batch_size=1, shuffle=False, num_workers=1)
+
+        p1 = str(tmp_path / "run_full")
+        state_full = make(p1).run(loader())
+
+        # the mid-run checkpoint written at step 2 (total_steps == 1)
+        ckpt = os.path.join(p1, "2")
+        assert os.path.isdir(ckpt)
+        p2 = str(tmp_path / "run_resumed")
+        t2 = make(p2, restore=ckpt)
+        state_res = t2.init_state((1, H, W, 3))
+        assert int(state_res.step) == 2  # step counter restored
+        state_res = t2.run(loader(), state=state_res)
+
+        assert int(state_res.step) == int(state_full.step)
+        for a, b in zip(jax.tree_util.tree_leaves(state_full.params),
+                        jax.tree_util.tree_leaves(state_res.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=0)
+        for a, b in zip(jax.tree_util.tree_leaves(state_full.opt_state),
+                        jax.tree_util.tree_leaves(state_res.opt_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=1e-7)
+
+
 class TestFactory:
     def test_build_dataloader(self, mpf_root):
         cfg = DataConfig(type="360flow", name="MPFDataset", scene="EFT",

@@ -58,10 +58,13 @@ def bench_reference(H, W, iters, runs):
 
 
 def bench_ours(H, W, iters, runs):
+    # force the CPU backend regardless of site-level platform plugins
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     import jax.numpy as jnp
 
     from prior_flow_tpu.models import PriOrRAFT
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
     model = PriOrRAFT(mixed_precision=False, lookup_mode="mxu")
     rng = jax.random.PRNGKey(0)
@@ -69,14 +72,32 @@ def bench_ours(H, W, iters, runs):
     img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (1, H, W, 3)) * 255.0
     variables = model.init(rng, img1, img2, iters=1)
     fwd = jax.jit(lambda v, a, b: model.apply(v, a, b, iters=iters,
-                                              test_mode=True))
-    fwd(variables, img1, img2).block_until_ready()  # compile
+                                              test_mode=True).sum())
+    float(fwd(variables, img1, img2))  # compile; scalar fetch = real sync
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        fwd(variables, img1, img2).block_until_ready()
+        out = fwd(variables, img1, img2)
+        _ = float(out)
         times.append(time.perf_counter() - t0)
     return min(times)
+
+
+def bench_ours_subprocess(H, W, iters, runs):
+    """bench_ours in a clean subprocess: site hooks may register a TPU
+    platform plugin at interpreter start, so CPU must be forced via env
+    before Python even launches."""
+    import subprocess
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disable TPU plugin registration
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    code = (f"from tools.bench_reference_cpu import bench_ours; "
+            f"print(bench_ours({H}, {W}, {iters}, {runs}))")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, check=True)
+    return float(out.stdout.strip().splitlines()[-1])
 
 
 def main():
@@ -88,7 +109,7 @@ def main():
     H, W = args.size
 
     t_ref = bench_reference(H, W, args.iters, args.runs)
-    t_ours = bench_ours(H, W, args.iters, args.runs)
+    t_ours = bench_ours_subprocess(H, W, args.iters, args.runs)
     print(json.dumps({
         "config": f"{H}x{W}, {args.iters} iters, f32, CPU ({os.cpu_count()} threads)",
         "reference_torch_s": round(t_ref, 3),

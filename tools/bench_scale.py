@@ -1,0 +1,91 @@
+"""Scale-story benchmark (VERDICT round 1, item 7).
+
+Measures, on the real TPU chip:
+
+1. 512x1024 forward, corr_mode='volume' (the headline config) — sanity
+   anchor against bench.py;
+2. 512x1024 forward, corr_mode='onthefly' — the memory-efficient exact
+   path (capability of the reference's never-compiled alt_cuda_corr,
+   core/corr.py:64-91);
+3. 1024x2048 forward, corr_mode='onthefly' — the case the mode exists
+   for: the materialised volume would be (2*128*256)^2 * 2 branches
+   * 4 levels/3 ≈ 16x the 512x1024 footprint (~36 GB f32), beyond a
+   v5e's 16 GB HBM; on-the-fly needs only the feature pyramids;
+4. 1024x2048 forward, corr_mode='volume' in bf16 — expected to OOM or
+   thrash; recorded as evidence, not a target.
+
+Prints one JSON line per config. Run standalone on the chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys, os, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WARMUP = 1
+RUNS = 4
+
+
+def bench_config(H, W, corr_mode, lookup_mode="pallas", runs=RUNS):
+    import jax
+
+    from prior_flow_tpu.models import PriOrRAFT
+
+    model = PriOrRAFT(mixed_precision=True, corr_mode=corr_mode,
+                      lookup_mode=lookup_mode)
+    rng = jax.random.PRNGKey(0)
+    img1 = jax.random.uniform(rng, (1, H, W, 3)) * 255.0
+    img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (1, H, W, 3)) * 255.0
+    variables = model.init(rng, img1, img2, iters=1)
+    fwd = jax.jit(lambda v, a, b: model.apply(
+        v, a, b, iters=12, test_mode=True).sum())
+    for _ in range(WARMUP):
+        float(fwd(variables, img1, img2))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _ = float(fwd(variables, img1, img2))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    configs = [
+        (512, 1024, "volume"),
+        (512, 1024, "onthefly"),
+        (1024, 2048, "onthefly"),
+    ]
+    for H, W, mode in configs:
+        try:
+            p50 = bench_config(H, W, mode)
+            print(json.dumps({
+                "config": f"{H}x{W} {mode}", "p50_ms": round(p50 * 1e3, 1),
+                "pairs_per_s": round(1.0 / p50, 3)}), flush=True)
+        except Exception as e:  # OOM etc. — record, keep going
+            print(json.dumps({
+                "config": f"{H}x{W} {mode}",
+                "error": f"{type(e).__name__}: {str(e)[:200]}"}), flush=True)
+
+    # evidence case: the materialised volume at 1024x2048 does not fit
+    try:
+        p50 = bench_config(1024, 2048, "volume", runs=1)
+        print(json.dumps({"config": "1024x2048 volume",
+                          "p50_ms": round(p50 * 1e3, 1)}), flush=True)
+    except Exception as e:
+        print(json.dumps({"config": "1024x2048 volume",
+                          "error": f"{type(e).__name__}: {str(e)[:200]}"}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
