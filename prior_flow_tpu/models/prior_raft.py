@@ -50,10 +50,9 @@ class StepConsts(NamedTuple):
     pyr_A: Tuple[jnp.ndarray, ...]
     pyr_B: Tuple[jnp.ndarray, ...]
     coords0: jnp.ndarray
-    a2b_8: jnp.ndarray
-    a2b_w2c_8: jnp.ndarray
-    b2a_8: jnp.ndarray
-    b2a_w2c_8: jnp.ndarray
+    # NOTE: the rotation grids are deliberately NOT consts — _step re-derives
+    # them from the host cache so they stay compile-time constants inside the
+    # scan body (required for the scatter-free static resampler)
 
 
 def upsample_flow_convex(flow, mask):
@@ -131,6 +130,14 @@ class PriOrRAFT(nn.Module):
         net_A, net_B, coords1_A, coords1_B = carry
         c = consts
 
+        # The rotation grids are pure functions of (H, W): re-derive the
+        # HOST-cached numpy constants here rather than reading the traced
+        # StepConsts copies — static grids let flo_rotate and the DCCL
+        # back-rotations use the transpose-plan resampler, whose backward
+        # is a gather instead of an XLA scatter (ops/static_resample.py).
+        B, h8, w8, _ = coords1_A.shape
+        g8 = gridlib.rotation_grids(h8 * 8, w8 * 8)
+
         coords1_A = jax.lax.stop_gradient(coords1_A)
         flow_A = coords1_A - c.coords0
         warped_fmap2_A = cycle_bilinear_sample(c.fmap2_A, coords1_A)
@@ -139,7 +146,7 @@ class PriOrRAFT(nn.Module):
         coords1_B = jax.lax.stop_gradient(coords1_B)
         flow_B = coords1_B - c.coords0
 
-        flow_B_A = flo_rotate(flow_B, c.b2a_w2c_8, c.b2a_8)
+        flow_B_A = flo_rotate(flow_B, g8.b2a_w2c_8, g8.b2a_8)
         coords1_B_A = c.coords0 + flow_B_A
         warped_fmap2_B_A = cycle_bilinear_sample(c.fmap2_A, coords1_B_A)
         flaw_B_A = groupwise_corr(c.fmap1_A, warped_fmap2_B_A, num_groups=4)
@@ -147,12 +154,12 @@ class PriOrRAFT(nn.Module):
         if isinstance(self._dccl, DCCLFused):
             corr_A, corr_B_A, corr_B, corr_A_B = self._dccl(
                 coords1_A, coords1_B, c.pyr_A, c.pyr_B,
-                c.a2b_w2c_8, c.b2a_w2c_8, c.a2b_8, c.b2a_8)
+                g8.a2b_w2c_8, g8.b2a_w2c_8, g8.a2b_8, g8.b2a_8)
         else:
             corr_A, corr_B_A = self._dccl(coords1_A, c.pyr_A, c.pyr_B,
-                                          c.a2b_w2c_8, c.b2a_8)
+                                          g8.a2b_w2c_8, g8.b2a_8)
             corr_B, corr_A_B = self._dccl(coords1_B, c.pyr_B, c.pyr_A,
-                                          c.b2a_w2c_8, c.a2b_8)
+                                          g8.b2a_w2c_8, g8.a2b_8)
         # name the lookup results so the remat policy keeps them: DCCL is
         # ~80% of forward time (docs/ARCHITECTURE.md §3) and its inputs are
         # stop_gradiented coords, so saving ~85 MB/iteration avoids the most
@@ -186,10 +193,6 @@ class PriOrRAFT(nn.Module):
         B, H, W, _ = image1.shape
         g = gridlib.rotation_grids(H, W)
         a2b = jnp.asarray(g.a2b)
-        a2b_8 = jnp.asarray(g.a2b_8)
-        a2b_w2c_8 = jnp.asarray(g.a2b_w2c_8)
-        b2a_8 = jnp.asarray(g.b2a_8)
-        b2a_w2c_8 = jnp.asarray(g.b2a_w2c_8)
 
         # normalise to [-1, 1] (prior_raft.py:109-110)
         image1_A = 2.0 * (image1 / 255.0) - 1.0
@@ -242,15 +245,14 @@ class PriOrRAFT(nn.Module):
         coords1_B = coords0
         if init_flow is not None:
             coords1_A = coords1_A + init_flow
-            coords1_B = coords1_B + flo_rotate(init_flow, a2b_w2c_8, a2b_8)
+            coords1_B = coords1_B + flo_rotate(init_flow, g.a2b_w2c_8,
+                                               g.a2b_8)
 
         consts = StepConsts(
             inp_A=inp_A, inp_B=inp_B,
             fmap1_A=fmap1_A, fmap2_A=fmap2_A,
             pyr_A=pyr_A, pyr_B=pyr_B,
             coords0=coords0,
-            a2b_8=a2b_8, a2b_w2c_8=a2b_w2c_8,
-            b2a_8=b2a_8, b2a_w2c_8=b2a_w2c_8,
         )
         carry0 = (net_A, net_B, coords1_A, coords1_B)
 

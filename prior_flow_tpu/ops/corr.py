@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .samplers import cycle_bilinear_sample
+from .static_resample import is_static, resample_static
 
 
 def all_pairs_correlation(fmap1, fmap2):
@@ -257,9 +258,13 @@ class DCCL:
         if grid_w2c_8.ndim == 3:
             grid_w2c_8 = jnp.broadcast_to(
                 jnp.asarray(grid_w2c_8), (B,) + grid_w2c_8.shape)
-        if grid_back_8.ndim == 3:
-            grid_back_8 = jnp.broadcast_to(
-                jnp.asarray(grid_back_8), (B,) + grid_back_8.shape)
+        if is_static(grid_back_8):
+            back_rot = resample_static
+        else:
+            if grid_back_8.ndim == 3:
+                grid_back_8 = jnp.broadcast_to(
+                    jnp.asarray(grid_back_8), (B,) + grid_back_8.shape)
+            back_rot = cycle_bilinear_sample
 
         mode = self.lookup_mode
         own_out, cross_out = [], []
@@ -284,7 +289,7 @@ class DCCL:
             # Rotate the result field back into the query frame
             # (img_rotate with the 1/8 back grid, core/corr.py:137-139).
             cross_img = cross.reshape(B, h1, w1, K)
-            cross_img = cycle_bilinear_sample(cross_img, grid_back_8)
+            cross_img = back_rot(cross_img, grid_back_8)
             cross_out.append(cross_img)
 
         own = jnp.concatenate(own_out, axis=-1).astype(jnp.float32)
@@ -337,7 +342,11 @@ class DCCLFused:
             g = jnp.asarray(g)
             return jnp.broadcast_to(g, (B,) + g.shape) if g.ndim == 3 else g
 
-        a2b_8, b2a_8 = bcast(a2b_8), bcast(b2a_8)
+        if is_static(a2b_8) and is_static(b2a_8):
+            back_rot = resample_static
+        else:
+            a2b_8, b2a_8 = bcast(a2b_8), bcast(b2a_8)
+            back_rot = cycle_bilinear_sample
 
         interpret = jax.default_backend() != "tpu"
         # grids wider than one lane row fall back to XLA-side coord einsums
@@ -374,10 +383,11 @@ class DCCLFused:
             ownA_out.append(ownA.reshape(B, h1, w1, -1))
             ownB_out.append(ownB.reshape(B, h1, w1, -1))
             # rotate each cross result field back into its query frame
-            # (core/corr.py:137-139)
-            crossA_out.append(cycle_bilinear_sample(
+            # (core/corr.py:137-139); at static rotation grids the
+            # transpose-plan resampler keeps the backward scatter-free
+            crossA_out.append(back_rot(
                 crossA_v.reshape(B, h1, w1, -1), b2a_8))
-            crossB_out.append(cycle_bilinear_sample(
+            crossB_out.append(back_rot(
                 crossB_v.reshape(B, h1, w1, -1), a2b_8))
 
         cat = lambda xs: jnp.concatenate(xs, axis=-1).astype(jnp.float32)
@@ -454,9 +464,13 @@ class DCCLOnTheFly:
         if grid_w2c_8.ndim == 3:
             grid_w2c_8 = jnp.broadcast_to(
                 jnp.asarray(grid_w2c_8), (B,) + grid_w2c_8.shape)
-        if grid_back_8.ndim == 3:
-            grid_back_8 = jnp.broadcast_to(
-                jnp.asarray(grid_back_8), (B,) + grid_back_8.shape)
+        if is_static(grid_back_8):
+            back_rot = resample_static
+        else:
+            if grid_back_8.ndim == 3:
+                grid_back_8 = jnp.broadcast_to(
+                    jnp.asarray(grid_back_8), (B,) + grid_back_8.shape)
+            back_rot = cycle_bilinear_sample
 
         own_out, cross_out = [], []
         for i in range(self.num_levels):
@@ -472,7 +486,7 @@ class DCCLOnTheFly:
             f1_other, f2_other = pyr_other[i]
             cross = self._tap_values(f1_other, f2_other, coords_other)
             cross_img = cross.reshape(B, h1, w1, K)
-            cross_img = cycle_bilinear_sample(cross_img, grid_back_8)
+            cross_img = back_rot(cross_img, grid_back_8)
             cross_out.append(cross_img)
 
         own = jnp.concatenate(own_out, axis=-1).astype(jnp.float32)

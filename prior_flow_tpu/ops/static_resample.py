@@ -1,0 +1,240 @@
+"""Differentiable resampling at COMPILE-TIME-CONSTANT grids with a
+gather-only backward pass.
+
+Several hot resamples in the model run at static rotation grids (the DCCL
+cross-result back-rotations, 8 per GRU iteration, and ``flo_rotate``'s
+final camera->world resample — reference core/corr.py:137-139 and
+core/utils/projection_prim_ortho.py:540-545). Autodiff of a gather is a
+scatter-add, which XLA:TPU executes painfully slowly (serialised updates).
+But when the grid is static the sampling operator is a fixed sparse matrix
+whose TRANSPOSE can be precomputed on the host: each source cell knows, at
+compile time, exactly which output cells read it and with what weights.
+The backward pass then becomes another static GATHER (pad-to-max-degree
+CSR), with zero scatters anywhere.
+
+Two boundary semantics, matching ops.samplers exactly:
+
+- ``mode='cycle_bilinear'`` — x wrapped mod W, zero padding outside the
+  image, the x0+1==W corner contributes ZERO (the seam quirk of
+  ``cycle_bilinear_sampler``, reference core/utils/utils.py:78-95);
+- ``mode='cycle_grid'``     — true longitude wrap (x1 = (x0+1) % W),
+  latitude clamp (``cycle_grid_sample``, is_grid=False payloads,
+  reference core/utils/my_cycle_sample.py:6-79).
+
+Plans are cached by (grid bytes, source extents, mode).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class _Plan:
+    """Identity-hashed (it feeds custom_vjp's nondiff_argnums); instances
+    are interned by the lru_cache below, so identity equality is correct.
+
+    The transpose is TWO-TIER: rotation grids compress whole regions into
+    the pole rows, so per-source read degree is wildly skewed (mean 4,
+    max ~174 at 1/8 res). Tier 1 is a (S, D0<=8) padded-CSR gather covering
+    typical cells; the few heavy cells get their own compact
+    (n_heavy, D_heavy) gather, placed back into the field by ANOTHER
+    gather through a static inverse map — no scatter at any tier.
+    """
+
+    __slots__ = ("fwd_idx", "fwd_w", "bwd_idx", "bwd_w", "heavy_idx",
+                 "heavy_w", "heavy_inv", "src_hw", "out_shape")
+
+    def __init__(self, fwd_idx, fwd_w, bwd_idx, bwd_w, heavy_idx, heavy_w,
+                 heavy_inv, src_hw, out_shape):
+        self.fwd_idx = fwd_idx      # (4, N) int32 flat source indices
+        self.fwd_w = fwd_w          # (4, N) float32 corner weights
+        self.bwd_idx = bwd_idx      # (S, D0) int32 outputs reading a source
+        self.bwd_w = bwd_w          # (S, D0) float32 matching weights
+        self.heavy_idx = heavy_idx  # (n_h, Dh) int32 overflow outputs
+        self.heavy_w = heavy_w      # (n_h, Dh) float32
+        self.heavy_inv = heavy_inv  # (S,) int32 -> row in heavy result
+        self.src_hw = src_hw
+        self.out_shape = out_shape
+
+
+def _corners(grid: np.ndarray, H: int, W: int, mode: str):
+    """4x (index, weight) corner lists for one grid under the given
+    boundary semantics."""
+    gx = grid[..., 0].reshape(-1).astype(np.float64)
+    gy = grid[..., 1].reshape(-1).astype(np.float64)
+    x = np.mod(gx, W)
+    x0 = np.floor(x)
+    y0 = np.floor(gy)
+    fx = (x - x0).astype(np.float32)
+    fy = (gy - y0).astype(np.float32)
+
+    out_idx, out_w = [], []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cx = x0 + dx
+            cy = y0 + dy
+            w = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            if mode == "cycle_bilinear":
+                valid = (cx <= W - 1) & (cy >= 0) & (cy <= H - 1)
+                ix = np.clip(cx, 0, W - 1).astype(np.int64)
+                iy = np.clip(cy, 0, H - 1).astype(np.int64)
+                w = np.where(valid, w, 0.0)
+            elif mode == "cycle_grid":
+                ix = np.mod(cx, W).astype(np.int64)
+                iy = np.clip(cy, 0, H - 1).astype(np.int64)
+            else:
+                raise ValueError(mode)
+            out_idx.append((iy * W + ix).astype(np.int32))
+            out_w.append(w.astype(np.float32))
+    return np.stack(out_idx), np.stack(out_w)
+
+
+D0 = 8  # tier-1 degree cap (covers the mean degree of 4 with margin)
+
+
+@functools.lru_cache(maxsize=64)
+def _plan_cached(key, src_hw, out_shape, mode, grid_bytes):
+    grid = np.frombuffer(grid_bytes, np.float32).reshape(out_shape + (2,))
+    H, W = src_hw
+    fwd_idx, fwd_w = _corners(grid, H, W, mode)
+    N = fwd_idx.shape[1]
+    S = H * W
+
+    # transpose: CSR of (output, weight) per source cell; zero-weight
+    # entries point at output 0
+    flat_idx = fwd_idx.reshape(-1)
+    flat_out = np.tile(np.arange(N, dtype=np.int32), 4)
+    flat_w = fwd_w.reshape(-1)
+    nz = flat_w != 0.0
+    flat_idx, flat_out, flat_w = flat_idx[nz], flat_out[nz], flat_w[nz]
+    order = np.argsort(flat_idx, kind="stable")
+    flat_idx, flat_out, flat_w = (flat_idx[order], flat_out[order],
+                                  flat_w[order])
+    counts = np.bincount(flat_idx, minlength=S)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(flat_idx.size) - starts[flat_idx]
+
+    d1 = int(min(counts.max(), D0)) if counts.size else 1
+    t1 = pos < d1
+    bwd_idx = np.zeros((S, max(d1, 1)), np.int32)
+    bwd_w = np.zeros((S, max(d1, 1)), np.float32)
+    bwd_idx[flat_idx[t1], pos[t1]] = flat_out[t1]
+    bwd_w[flat_idx[t1], pos[t1]] = flat_w[t1]
+
+    # tier 2: overflow entries of the heavy cells, compact rows
+    heavy_cells = np.nonzero(counts > d1)[0].astype(np.int32)
+    n_h = heavy_cells.size
+    if n_h:
+        dh = int(counts.max()) - d1
+        cell_to_h = np.full(S, n_h, np.int32)
+        cell_to_h[heavy_cells] = np.arange(n_h, dtype=np.int32)
+        t2 = ~t1
+        heavy_idx = np.zeros((n_h, dh), np.int32)
+        heavy_w = np.zeros((n_h, dh), np.float32)
+        heavy_idx[cell_to_h[flat_idx[t2]], pos[t2] - d1] = flat_out[t2]
+        heavy_w[cell_to_h[flat_idx[t2]], pos[t2] - d1] = flat_w[t2]
+        heavy_inv = cell_to_h  # (S,) -> heavy row, n_h = zero row
+    else:
+        heavy_idx = heavy_w = heavy_inv = None
+    return _Plan(fwd_idx, fwd_w, bwd_idx, bwd_w, heavy_idx, heavy_w,
+                 heavy_inv, src_hw, out_shape)
+
+
+def _get_plan(grid: np.ndarray, src_hw, mode) -> _Plan:
+    grid = np.ascontiguousarray(np.asarray(grid, np.float32))
+    key = hashlib.sha1(grid.tobytes()).hexdigest()
+    return _plan_cached(key, tuple(src_hw), grid.shape[:-1], mode,
+                        grid.tobytes())
+
+
+def _rows(flat, idx_np):
+    """Row gather: flat (B, R, C) at static indices (M,) -> (B, M, C).
+    Size-1 index dims broadcast inside take_along_axis, so XLA sees
+    whole-row (C-contiguous) gathers."""
+    idx = jnp.asarray(idx_np.reshape(-1), jnp.int32)[None, :, None]
+    return jnp.take_along_axis(flat, idx, axis=1)
+
+
+def _fwd_apply(plan: _Plan, img):
+    """img: (B, H, W, C) -> (B, *out_shape, C) via the 4 corner gathers."""
+    B, H, W, C = img.shape
+    flat = img.reshape(B, H * W, C)
+    out = None
+    for c in range(4):
+        term = _rows(flat, plan.fwd_idx[c]) * \
+            jnp.asarray(plan.fwd_w[c])[None, :, None]
+        out = term if out is None else out + term
+    return out.reshape((B,) + plan.out_shape + (C,))
+
+
+def _bwd_apply(plan: _Plan, ct):
+    """ct: (B, *out_shape, C) -> (B, H, W, C) via the two-tier transpose
+    gather (see _Plan)."""
+    B = ct.shape[0]
+    C = ct.shape[-1]
+    H, W = plan.src_hw
+    flat = ct.reshape(B, -1, C)
+
+    S, d1 = plan.bwd_idx.shape
+    v = _rows(flat, plan.bwd_idx).reshape(B, S, d1, C)
+    out = jnp.sum(v * jnp.asarray(plan.bwd_w)[None, :, :, None], axis=2)
+
+    if plan.heavy_idx is not None:
+        n_h, dh = plan.heavy_idx.shape
+        hv = _rows(flat, plan.heavy_idx).reshape(B, n_h, dh, C)
+        hsum = jnp.sum(hv * jnp.asarray(plan.heavy_w)[None, :, :, None],
+                       axis=2)                      # (B, n_h, C)
+        hpad = jnp.concatenate(
+            [hsum, jnp.zeros((B, 1, C), hsum.dtype)], axis=1)
+        # placement is ITSELF a gather through the static inverse map
+        out = out + _rows(hpad, plan.heavy_inv)
+    return out.reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _resample(img, plan: _Plan):
+    return _fwd_apply(plan, img)
+
+
+def _resample_fwd(img, plan):
+    # zero-size dtype carrier: residuals must be JAX types
+    return _fwd_apply(plan, img), jnp.zeros((0,), img.dtype)
+
+
+def _resample_bwd(plan, res, ct):
+    return (_bwd_apply(plan, ct).astype(res.dtype),)
+
+
+_resample.defvjp(_resample_fwd, _resample_bwd)
+
+
+def is_static(grid) -> bool:
+    """True when ``grid`` is a host constant (numpy or concrete jax.Array)
+    whose values are known at trace time."""
+    return not isinstance(grid, jax.core.Tracer)
+
+
+def resample_static(img, grid, mode: str = "cycle_bilinear"):
+    """Bilinearly resample ``img`` at the STATIC ``grid`` with a
+    gather-only VJP.
+
+    Numerically identical to ``cycle_bilinear_sample(img, grid)`` (or
+    ``cycle_grid_sample`` for mode='cycle_grid') — asserted in
+    tests/test_static_resample.py — but the backward pass is a precomputed
+    transpose gather instead of an XLA scatter.
+
+    img: (B, H, W, C); grid: (H2, W2, 2) host constant (a leading batch
+    axis of size 1/B is accepted and collapsed — the grid must be
+    batch-invariant, which rotation grids are).
+    """
+    g = np.asarray(grid, np.float32)
+    if g.ndim == 4:
+        g = g[0]
+    plan = _get_plan(g, (img.shape[1], img.shape[2]), mode)
+    return _resample(img, plan)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..geometry import erp, grids
 from .samplers import bilinear_sample, cycle_bilinear_sample, cycle_grid_sample
+from .static_resample import is_static, resample_static
 
 
 def _bcast(grid, B):
@@ -74,6 +75,12 @@ def flo_rotate(flow, sample_grid_w2c, sample_grid_c2w):
     end_c = cycle_grid_sample(sample_grid_w2c, end_w, is_grid=True)
     flow_c = end_c - sample_grid_w2c
     flow_c = jnp.stack([erp.u_clip(flow_c[..., 0], W), flow_c[..., 1]], axis=-1)
+    if is_static(sample_grid_c2w):
+        # rotation grids are compile-time constants: the camera->world
+        # resample runs with a precomputed transpose plan whose VJP is a
+        # gather, not an XLA scatter (this op sits inside every GRU
+        # iteration's backward, reference projection_prim_ortho.py:540-545)
+        return resample_static(flow_c, sample_grid_c2w, mode="cycle_grid")
     return cycle_grid_sample(flow_c, sample_grid_c2w, is_grid=False)
 
 
