@@ -65,22 +65,40 @@ class DataLoader:
             idx = idx[self.shard_index * per:(self.shard_index + 1) * per]
         return idx
 
-    def __iter__(self) -> Iterator:
-        idx = self._epoch_indices()
-        n_batches = len(self)
-        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(n_batches)]
+    def _stream(self, epochs: int = 1) -> Iterator:
+        """Producer-thread stream over ``epochs`` epochs (-1 = forever).
+
+        ONE producer thread and ONE worker pool serve the whole stream —
+        per-epoch thread/pool churn (the previous design) both costs
+        startup latency on 1-batch epochs and multiplies exposure to
+        thread-start stalls under heavy host load.
+        """
+        if len(self) == 0:
+            # an empty loader would otherwise spin epochs forever in the
+            # producer (yielding nothing while the consumer blocks) — fail
+            # loudly instead
+            raise ValueError(
+                f"DataLoader has 0 batches: dataset of {len(self.dataset)} "
+                f"samples, batch_size={self.batch_size}, "
+                f"drop_last={self.drop_last}")
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(_stack_batch(samples))
+                e = 0
+                while epochs < 0 or e < epochs:
+                    idx = self._epoch_indices()
+                    for i in range(len(self)):
+                        if stop.is_set():
+                            return
+                        batch_idx = idx[i * self.batch_size:
+                                        (i + 1) * self.batch_size]
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                batch_idx))
+                        q.put(_stack_batch(samples))
+                    e += 1
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
@@ -94,11 +112,13 @@ class DataLoader:
         finally:
             stop.set()
 
+    def __iter__(self) -> Iterator:
+        return self._stream(epochs=1)
+
     def infinite(self) -> Iterator:
         """Epoch-less stream (reference train loop semantics,
         train_flow.py:119-199)."""
-        while True:
-            yield from self
+        return self._stream(epochs=-1)
 
 
 def device_prefetch(iterator, sharding=None, size: int = 2):

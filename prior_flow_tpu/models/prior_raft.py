@@ -89,6 +89,9 @@ class PriOrRAFT(nn.Module):
     mixed_precision: bool = False
     bn_running_average: bool = True  # freeze_bn semantics (prior_raft.py:43-48)
     remat: bool = True
+    # 'dccl' = save only the DCCL lookup results (lowest memory);
+    # 'dots' = save all conv/matmul results (fastest backward that fits)
+    remat_policy: str = "dccl"
     # XLA matmul/conv precision: None = backend default (fastest on TPU),
     # 'highest' = full fp32 accumulation (checkpoint-parity mode).
     precision: Optional[str] = None
@@ -258,7 +261,14 @@ class PriOrRAFT(nn.Module):
 
         step = PriOrRAFT._step
         if self.remat:
-            policy = jax.checkpoint_policies.save_only_these_names("dccl_corr")
+            if self.remat_policy == "dots":
+                # save every conv/matmul result, recompute elementwise ops:
+                # trades ~2-4 GB of per-iteration activations for skipping
+                # the full forward replay in the backward pass
+                policy = jax.checkpoint_policies.dots_saveable
+            else:
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "dccl_corr")
             step = nn.remat(step, prevent_cse=False, policy=policy)
         scan = nn.scan(
             step,

@@ -394,11 +394,6 @@ def _grid_call(volA, volB, cenA, cenB, gcat_A, gcat_B, BQ, R, T,
     )(cenA, cenB, gcat_A, gcat_B, volA, volB)
 
 
-# ---------------------------------------------------------------------------
-# differentiable wrapper: gradients flow to the volumes only (lookup coords
-# are stop_gradiented upstream each GRU iteration, core/prior_raft.py:171)
-# ---------------------------------------------------------------------------
-
 def _one_hot_pair(coords, extent, wrap: bool):
     """(..., ) coords -> ((...,), (...,), (...,), mask2) integer corners and
     frac with the reference sampler's boundary rules. Helper for the VJP."""
@@ -475,6 +470,11 @@ def _scatter_grads_window(g, cen, level_scale, Hl, Wl, dtype, radius=4):
     return dv.astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# differentiable wrapper: gradients flow to the volumes only (lookup coords
+# are stop_gradiented upstream each GRU iteration, core/prior_raft.py:171)
+# ---------------------------------------------------------------------------
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def dccl_packed_lookup(pA, pB, meta_A, meta_B, cen_A, cen_B,
                        cross_A, cross_B, level_scale: float = 1.0,
@@ -504,9 +504,10 @@ def _packed_bwd(level_scale, interpret, res, cts):
     meta_A, meta_B, cen_A, cen_B, cross_A, cross_B = res
     g_ownA, g_crossA, g_ownB, g_crossB = cts
     _, Hl, Wl = meta_A.shape
-
-    # volume A receives branch A's own-window grads (separable scatter) and
-    # branch B's cross-view grads (dense arbitrary-coordinate scatter)
+    # Separable own-window scatter + dense cross scatter, as one-hot
+    # einsums. A fused Pallas matmul-scatter kernel was built and measured
+    # SLOWER (102.7 vs 13.7 ms/iter at level 0, tools/bench_scatter.py):
+    # the one-hot contraction FLOPs dwarf the HBM traffic they avoid.
     d_pA = _repack(
         _scatter_grads_window(g_ownA, cen_A, level_scale, Hl, Wl,
                               meta_A.dtype)
@@ -575,6 +576,10 @@ def _packed_grid_bwd(level_scale, interpret, res, cts):
         cross_A = sample_image_window_mxu(gA, cenAs, 4)
         cross_B = sample_image_window_mxu(gB, cenBs, 4)
 
+    # Separable own-window scatter + dense cross scatter, as one-hot
+    # einsums. A fused Pallas matmul-scatter kernel was built and measured
+    # SLOWER (102.7 vs 13.7 ms/iter at level 0, tools/bench_scatter.py):
+    # the one-hot contraction FLOPs dwarf the HBM traffic they avoid.
     d_pA = _repack(
         _scatter_grads_window(g_ownA, cen_A, level_scale, Hl, Wl,
                               meta_A.dtype)

@@ -23,6 +23,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# persistent compile cache: model-sized CPU test compiles take minutes on
+# this 1-core host; repeat runs of unchanged HLO become instant
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -54,7 +54,7 @@ class TestFullStateResume:
         what makes the claim true)."""
         import jax
 
-        root = _make_mpf_tree(str(tmp_path / "data"), n=1, H=H, W=W)
+        root = _make_mpf_tree(str(tmp_path / "data"), n=2, H=H, W=W)
         os.rename(os.path.join(root, "EFTs_Car100"),
                   os.path.join(root, "EFTs_Car2000"))
 
@@ -67,7 +67,11 @@ class TestFullStateResume:
             return Trainer(model, cfg)
 
         def loader():
-            ds = fetch_dataset("EFT", root)
+            # NO augmentation: the two runs read different positions of the
+            # sample stream, so step-aligned equality needs deterministic
+            # data (aug randomness is draw-order-, not step-, keyed)
+            ds = MPFDataset(aug_params=None, split="train", scene="EFT",
+                            root=root)
             return DataLoader(ds, batch_size=1, shuffle=False, num_workers=1)
 
         p1 = str(tmp_path / "run_full")

@@ -41,7 +41,9 @@ def build(variant: str):
     from prior_flow_tpu.train.loss import uniform_sequence_loss
     from prior_flow_tpu.train.optim import make_optimizer
 
-    model = PriOrRAFT(mixed_precision=True, lookup_mode="pallas", remat=True)
+    model = PriOrRAFT(mixed_precision=True, lookup_mode="pallas",
+                      remat=(variant != "noremat"),
+                      remat_policy="dots" if variant == "dots" else "dccl")
 
     if variant == "novolgrad":
         # wrap the fused lookup so volume cotangents are dropped
@@ -90,28 +92,39 @@ def build(variant: str):
         fn = jax.jit(lambda p: loss_fn(p))
         args = (params,)
     else:
-        def step(p, o):
-            loss, grads = jax.value_and_grad(loss_fn)(p)
-            updates, o = tx.update(grads, o, p)
-            return optax.apply_updates(p, updates), o, loss
-        fn = jax.jit(step, donate_argnums=(0, 1))
-        args = (params, opt_state)
+        # the PRODUCTION step (train/trainer.make_train_step), so the
+        # timing covers exactly what Trainer.run executes
+        from prior_flow_tpu.train.trainer import TrainState, make_train_step
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, tx, iters=ITERS)
+        jfn = jax.jit(step, donate_argnums=(0,))
+        gt2 = jnp.clip(gt, -50, 50)
+        batch = (img1, img2, gt2, valid)
+
+        def fn(st):
+            new_state, metrics = jfn(st, batch, rng)
+            return new_state, metrics["train/loss"]
+        args = (state,)
     return fn, args
 
 
 def timed(variant):
     fn, args = build(variant)
+
+    def run(a):
+        out = fn(*a)
+        if isinstance(out, tuple):
+            # donated state threads through to the next call
+            return (out[0],), float(out[-1])
+        return a, float(out)
+
     t0 = time.perf_counter()
-    out = fn(*args)
-    first = out[-1] if isinstance(out, tuple) else out
-    _ = float(first)
+    args, _ = run(args)
     compile_s = time.perf_counter() - t0
     ts = []
     for _ in range(REPEAT):
         t0 = time.perf_counter()
-        out = fn(*args)
-        first = out[-1] if isinstance(out, tuple) else out
-        _ = float(first)
+        args, _ = run(args)
         ts.append(time.perf_counter() - t0)
     return min(ts), compile_s
 
@@ -119,7 +132,7 @@ def timed(variant):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant", choices=["full", "novolgrad", "noflawgrad",
-                                        "fwdonly"])
+                                        "fwdonly", "noremat", "dots"])
     args = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
