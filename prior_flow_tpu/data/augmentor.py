@@ -14,6 +14,14 @@ improvements, not behaviour changes:
 
 All augmentors consume/produce numpy HWC uint8 images and (H, W, 2) float32
 flow, exactly like the reference's __call__ contracts.
+
+Randomness: every ``__call__`` accepts an optional ``rng``
+(np.random.RandomState-style). Datasets pass a PER-SAMPLE counter-derived
+RandomState (see datasets.FlowDataset._sample_rng), making augmented
+batches deterministic under any loader thread count — the equivalent of
+the reference's per-worker seeding (core/datasets.py:118-124), but exact
+rather than schedule-dependent. The ``rng`` constructor argument remains
+the fallback for direct calls.
 """
 
 from __future__ import annotations
@@ -115,46 +123,50 @@ class FlowAugmentor360:
         self.asymmetric_rotation_aug_prob = 0.0
         self.rng = rng
 
-    def color_transform(self, img1, img2):
-        if self.rng.rand() < self.asymmetric_color_aug_prob:
-            img1 = color_jitter(img1, rng=self.rng, **self.photo_params)
-            img2 = color_jitter(img2, rng=self.rng, **self.photo_params)
+    def color_transform(self, img1, img2, rng=None):
+        rng = self.rng if rng is None else rng
+        if rng.rand() < self.asymmetric_color_aug_prob:
+            img1 = color_jitter(img1, rng=rng, **self.photo_params)
+            img2 = color_jitter(img2, rng=rng, **self.photo_params)
         else:
             stack = np.concatenate([img1, img2], axis=0)
-            stack = color_jitter(stack, rng=self.rng, **self.photo_params)
+            stack = color_jitter(stack, rng=rng, **self.photo_params)
             img1, img2 = np.split(stack, 2, axis=0)
         return img1, img2
 
-    def eraser_transform(self, img1, img2, bounds=(50, 100)):
-        return _eraser(img1, img2, bounds, self.eraser_aug_prob, self.rng)
+    def eraser_transform(self, img1, img2, bounds=(50, 100), rng=None):
+        rng = self.rng if rng is None else rng
+        return _eraser(img1, img2, bounds, self.eraser_aug_prob, rng)
 
-    def rotation_transform(self, img1, img2, flow):
+    def rotation_transform(self, img1, img2, flow, rng=None):
         """Horizontal roll by up to +-rotate_ratio*W pixels; vectorised
         equivalent of the reference's per-column loop
         (augmentor.py:254-283)."""
         _, wd = img1.shape[:2]
+        rng = self.rng if rng is None else rng
         max_px = int(np.round(self.rotate_ratio * wd))
-        if self.rng.rand() >= self.rotation_aug_prob:
+        if rng.rand() >= self.rotation_aug_prob:
             return img1, img2, flow
-        if self.rng.rand() < self.asymmetric_rotation_aug_prob:
-            k1 = self.rng.randint(-max_px, max_px)
-            k2 = self.rng.randint(-max_px, max_px)
+        if rng.rand() < self.asymmetric_rotation_aug_prob:
+            k1 = rng.randint(-max_px, max_px)
+            k2 = rng.randint(-max_px, max_px)
             img1 = native.roll(img1, k1)
             flow = native.roll(flow, k1).copy()
             img2 = native.roll(img2, k2)
             flow[:, :, 0] = u_clip_np(flow[:, :, 0] + k2 - k1, wd)
             return img1, img2, flow
-        k = self.rng.randint(-max_px, max_px)
+        k = rng.randint(-max_px, max_px)
         return (native.roll(img1, k), native.roll(img2, k),
                 native.roll(flow, k))
 
-    def flip_transform(self, img1, img2, flow):
+    def flip_transform(self, img1, img2, flow, rng=None):
+        rng = self.rng if rng is None else rng
         if self.do_flip:
-            if self.rng.rand() < self.h_flip_prob:
+            if rng.rand() < self.h_flip_prob:
                 img1 = img1[:, ::-1]
                 img2 = img2[:, ::-1]
                 flow = flow[:, ::-1] * [-1.0, 1.0]
-            if self.rng.rand() < self.v_flip_prob:
+            if rng.rand() < self.v_flip_prob:
                 img1 = img1[::-1, :]
                 img2 = img2[::-1, :]
                 flow = flow[::-1, :] * [1.0, -1.0]
@@ -168,11 +180,11 @@ class FlowAugmentor360:
         flow = cv2.resize(flow, tuple(self.resize_size), interpolation=cv2.INTER_LINEAR)
         return img1, img2, flow * [sx, sy]
 
-    def __call__(self, img1, img2, flow):
-        img1, img2 = self.color_transform(img1, img2)
-        img1, img2 = self.eraser_transform(img1, img2)
+    def __call__(self, img1, img2, flow, rng=None):
+        img1, img2 = self.color_transform(img1, img2, rng=rng)
+        img1, img2 = self.eraser_transform(img1, img2, rng=rng)
         # resize/flip deliberately not applied (reference augmentor.py:309-311)
-        img1, img2, flow = self.rotation_transform(img1, img2, flow)
+        img1, img2, flow = self.rotation_transform(img1, img2, flow, rng=rng)
         return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
                 np.ascontiguousarray(flow))
 
@@ -201,31 +213,34 @@ class FlowAugmentor:
         self.eraser_aug_prob = 0.5
         self.rng = rng
 
-    def color_transform(self, img1, img2):
-        if self.rng.rand() < self.asymmetric_color_aug_prob:
-            img1 = color_jitter(img1, rng=self.rng, **self.photo_params)
-            img2 = color_jitter(img2, rng=self.rng, **self.photo_params)
+    def color_transform(self, img1, img2, rng=None):
+        rng = self.rng if rng is None else rng
+        if rng.rand() < self.asymmetric_color_aug_prob:
+            img1 = color_jitter(img1, rng=rng, **self.photo_params)
+            img2 = color_jitter(img2, rng=rng, **self.photo_params)
         else:
             stack = np.concatenate([img1, img2], axis=0)
-            stack = color_jitter(stack, rng=self.rng, **self.photo_params)
+            stack = color_jitter(stack, rng=rng, **self.photo_params)
             img1, img2 = np.split(stack, 2, axis=0)
         return img1, img2
 
-    def eraser_transform(self, img1, img2, bounds=(50, 100)):
-        return _eraser(img1, img2, bounds, self.eraser_aug_prob, self.rng)
+    def eraser_transform(self, img1, img2, bounds=(50, 100), rng=None):
+        rng = self.rng if rng is None else rng
+        return _eraser(img1, img2, bounds, self.eraser_aug_prob, rng)
 
-    def spatial_transform(self, img1, img2, flow):
+    def spatial_transform(self, img1, img2, flow, rng=None):
+        rng = self.rng if rng is None else rng
         ht, wd = img1.shape[:2]
         min_scale = max((self.crop_size[0] + 8) / float(ht),
                         (self.crop_size[1] + 8) / float(wd))
-        scale = 2 ** self.rng.uniform(self.min_scale, self.max_scale)
+        scale = 2 ** rng.uniform(self.min_scale, self.max_scale)
         scale_x = scale_y = scale
-        if self.rng.rand() < self.stretch_prob:
-            scale_x *= 2 ** self.rng.uniform(-self.max_stretch, self.max_stretch)
-            scale_y *= 2 ** self.rng.uniform(-self.max_stretch, self.max_stretch)
+        if rng.rand() < self.stretch_prob:
+            scale_x *= 2 ** rng.uniform(-self.max_stretch, self.max_stretch)
+            scale_y *= 2 ** rng.uniform(-self.max_stretch, self.max_stretch)
         scale_x = np.clip(scale_x, min_scale, None)
         scale_y = np.clip(scale_y, min_scale, None)
-        if self.rng.rand() < self.spatial_aug_prob:
+        if rng.rand() < self.spatial_aug_prob:
             img1 = cv2.resize(img1, None, fx=scale_x, fy=scale_y,
                               interpolation=cv2.INTER_LINEAR)
             img2 = cv2.resize(img2, None, fx=scale_x, fy=scale_y,
@@ -234,23 +249,23 @@ class FlowAugmentor:
                               interpolation=cv2.INTER_LINEAR)
             flow = flow * [scale_x, scale_y]
         if self.do_flip:
-            if self.rng.rand() < self.h_flip_prob:
+            if rng.rand() < self.h_flip_prob:
                 img1 = img1[:, ::-1]
                 img2 = img2[:, ::-1]
                 flow = flow[:, ::-1] * [-1.0, 1.0]
-            if self.rng.rand() < self.v_flip_prob:
+            if rng.rand() < self.v_flip_prob:
                 img1 = img1[::-1, :]
                 img2 = img2[::-1, :]
                 flow = flow[::-1, :] * [1.0, -1.0]
-        y0 = self.rng.randint(0, img1.shape[0] - self.crop_size[0])
-        x0 = self.rng.randint(0, img1.shape[1] - self.crop_size[1])
+        y0 = rng.randint(0, img1.shape[0] - self.crop_size[0])
+        x0 = rng.randint(0, img1.shape[1] - self.crop_size[1])
         sl = np.s_[y0:y0 + self.crop_size[0], x0:x0 + self.crop_size[1]]
         return img1[sl], img2[sl], flow[sl]
 
-    def __call__(self, img1, img2, flow):
-        img1, img2 = self.color_transform(img1, img2)
-        img1, img2 = self.eraser_transform(img1, img2)
-        img1, img2, flow = self.spatial_transform(img1, img2, flow)
+    def __call__(self, img1, img2, flow, rng=None):
+        img1, img2 = self.color_transform(img1, img2, rng=rng)
+        img1, img2 = self.eraser_transform(img1, img2, rng=rng)
+        img1, img2, flow = self.spatial_transform(img1, img2, flow, rng=rng)
         return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
                 np.ascontiguousarray(flow))
 
@@ -274,13 +289,15 @@ class SparseFlowAugmentor:
         self.eraser_aug_prob = 0.5
         self.rng = rng
 
-    def color_transform(self, img1, img2):
+    def color_transform(self, img1, img2, rng=None):
+        rng = self.rng if rng is None else rng
         stack = np.concatenate([img1, img2], axis=0)
-        stack = color_jitter(stack, rng=self.rng, **self.photo_params)
+        stack = color_jitter(stack, rng=rng, **self.photo_params)
         return tuple(np.split(stack, 2, axis=0))
 
-    def eraser_transform(self, img1, img2):
-        return _eraser(img1, img2, (50, 100), self.eraser_aug_prob, self.rng)
+    def eraser_transform(self, img1, img2, rng=None):
+        rng = self.rng if rng is None else rng
+        return _eraser(img1, img2, (50, 100), self.eraser_aug_prob, rng)
 
     @staticmethod
     def resize_sparse_flow_map(flow, valid, fx=1.0, fy=1.0):
@@ -303,36 +320,38 @@ class SparseFlowAugmentor:
         valid_img[yy[keep], xx[keep]] = 1
         return flow_img, valid_img
 
-    def spatial_transform(self, img1, img2, flow, valid):
+    def spatial_transform(self, img1, img2, flow, valid, rng=None):
+        rng = self.rng if rng is None else rng
         ht, wd = img1.shape[:2]
         min_scale = max((self.crop_size[0] + 1) / float(ht),
                         (self.crop_size[1] + 1) / float(wd))
-        scale = 2 ** self.rng.uniform(self.min_scale, self.max_scale)
+        scale = 2 ** rng.uniform(self.min_scale, self.max_scale)
         scale_x = np.clip(scale, min_scale, None)
         scale_y = np.clip(scale, min_scale, None)
-        if self.rng.rand() < self.spatial_aug_prob:
+        if rng.rand() < self.spatial_aug_prob:
             img1 = cv2.resize(img1, None, fx=scale_x, fy=scale_y,
                               interpolation=cv2.INTER_LINEAR)
             img2 = cv2.resize(img2, None, fx=scale_x, fy=scale_y,
                               interpolation=cv2.INTER_LINEAR)
             flow, valid = self.resize_sparse_flow_map(flow, valid, scale_x, scale_y)
-        if self.do_flip and self.rng.rand() < 0.5:
+        if self.do_flip and rng.rand() < 0.5:
             img1 = img1[:, ::-1]
             img2 = img2[:, ::-1]
             flow = flow[:, ::-1] * [-1.0, 1.0]
             valid = valid[:, ::-1]
         margin_y, margin_x = 20, 50
-        y0 = self.rng.randint(0, img1.shape[0] - self.crop_size[0] + margin_y)
-        x0 = self.rng.randint(-margin_x, img1.shape[1] - self.crop_size[1] + margin_x)
+        y0 = rng.randint(0, img1.shape[0] - self.crop_size[0] + margin_y)
+        x0 = rng.randint(-margin_x, img1.shape[1] - self.crop_size[1] + margin_x)
         y0 = int(np.clip(y0, 0, img1.shape[0] - self.crop_size[0]))
         x0 = int(np.clip(x0, 0, img1.shape[1] - self.crop_size[1]))
         sl = np.s_[y0:y0 + self.crop_size[0], x0:x0 + self.crop_size[1]]
         return img1[sl], img2[sl], flow[sl], valid[sl]
 
-    def __call__(self, img1, img2, flow, valid):
-        img1, img2 = self.color_transform(img1, img2)
-        img1, img2 = self.eraser_transform(img1, img2)
-        img1, img2, flow, valid = self.spatial_transform(img1, img2, flow, valid)
+    def __call__(self, img1, img2, flow, valid, rng=None):
+        img1, img2 = self.color_transform(img1, img2, rng=rng)
+        img1, img2 = self.eraser_transform(img1, img2, rng=rng)
+        img1, img2, flow, valid = self.spatial_transform(img1, img2, flow,
+                                                         valid, rng=rng)
         return (np.ascontiguousarray(img1), np.ascontiguousarray(img2),
                 np.ascontiguousarray(flow), np.ascontiguousarray(valid))
 
@@ -348,12 +367,13 @@ class FlowAugmentor360Ortho(FlowAugmentor360):
     FlowAugmentor_360_ortho, augmentor.py:423-...; unused by the reference
     CLIs but part of its public surface)."""
 
-    def __call__(self, img1_A, img2_A, flow, img1_B, img2_B):
-        img1_A, img2_A = self.color_transform(img1_A, img2_A)
-        img1_B, img2_B = self.color_transform(img1_B, img2_B)
-        img1_A, img2_A = self.eraser_transform(img1_A, img2_A)
-        img1_B, img2_B = self.eraser_transform(img1_B, img2_B)
-        img1_A, img2_A, flow = self.rotation_transform(img1_A, img2_A, flow)
+    def __call__(self, img1_A, img2_A, flow, img1_B, img2_B, rng=None):
+        img1_A, img2_A = self.color_transform(img1_A, img2_A, rng=rng)
+        img1_B, img2_B = self.color_transform(img1_B, img2_B, rng=rng)
+        img1_A, img2_A = self.eraser_transform(img1_A, img2_A, rng=rng)
+        img1_B, img2_B = self.eraser_transform(img1_B, img2_B, rng=rng)
+        img1_A, img2_A, flow = self.rotation_transform(img1_A, img2_A, flow,
+                                                       rng=rng)
         return tuple(np.ascontiguousarray(a) for a in
                      (img1_A, img2_A, flow, img1_B, img2_B))
 
@@ -362,11 +382,11 @@ class SparseFlowAugmentor360Ortho(SparseFlowAugmentor360):
     """Sparse counterpart of the ortho-view augmentor (reference
     SparseFlowAugmentor_360_ortho; unused by the reference CLIs)."""
 
-    def __call__(self, img1_A, img2_A, flow, valid, img1_B, img2_B):
-        img1_A, img2_A = self.color_transform(img1_A, img2_A)
-        img1_B, img2_B = self.color_transform(img1_B, img2_B)
-        img1_A, img2_A = self.eraser_transform(img1_A, img2_A)
+    def __call__(self, img1_A, img2_A, flow, valid, img1_B, img2_B, rng=None):
+        img1_A, img2_A = self.color_transform(img1_A, img2_A, rng=rng)
+        img1_B, img2_B = self.color_transform(img1_B, img2_B, rng=rng)
+        img1_A, img2_A = self.eraser_transform(img1_A, img2_A, rng=rng)
         img1_A, img2_A, flow, valid = self.spatial_transform(
-            img1_A, img2_A, flow, valid)
+            img1_A, img2_A, flow, valid, rng=rng)
         return tuple(np.ascontiguousarray(a) for a in
                      (img1_A, img2_A, flow, valid, img1_B, img2_B))

@@ -55,6 +55,22 @@ class FlowDataset:
         self.image_list: List[List[str]] = []
         self.extra_info: List = []
         self.root = root
+        # per-sample augmentation seeding (deterministic under any loader
+        # thread count — upgrades the reference's per-worker seeding,
+        # core/datasets.py:118-124); the loader advances the epoch
+        self.aug_seed = 1234
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Advance the augmentation epoch (called by the DataLoader between
+        epochs) so repeated visits to the same index draw fresh augs."""
+        self._epoch = int(epoch)
+
+    def _sample_rng(self, index: int):
+        """Counter-derived RandomState for one (epoch, index) sample."""
+        ss = np.random.SeedSequence(
+            [self.aug_seed, self._epoch, int(index)])
+        return np.random.RandomState(ss.generate_state(4))
 
     def _read_images(self, index):
         img1 = np.array(frame_utils.read_gen(self.image_list[index][0])).astype(np.uint8)
@@ -94,10 +110,12 @@ class FlowDataset:
         img1, img2 = self._read_images(index)
 
         if self.augmentor is not None:
+            rng = self._sample_rng(index)
             if self.sparse:
-                img1, img2, flow, valid = self.augmentor(img1, img2, flow, valid)
+                img1, img2, flow, valid = self.augmentor(img1, img2, flow,
+                                                         valid, rng=rng)
             else:
-                img1, img2, flow = self.augmentor(img1, img2, flow)
+                img1, img2, flow = self.augmentor(img1, img2, flow, rng=rng)
 
         img1 = img1.astype(np.float32)
         img2 = img2.astype(np.float32)

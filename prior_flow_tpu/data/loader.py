@@ -50,28 +50,39 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.num_shards = max(1, num_shards)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _epoch_indices(self):
+    def _epoch_indices(self, epoch: int):
+        """Shuffled index order for one epoch, keyed by (seed, epoch) only —
+        so any stream, started at any time (including a resumed run), sees
+        the identical batch sequence for a given epoch number."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, int(epoch)]))
+            rng.shuffle(idx)
         if self.num_shards > 1:
             per = len(idx) // self.num_shards
             idx = idx[self.shard_index * per:(self.shard_index + 1) * per]
         return idx
 
-    def _stream(self, epochs: int = 1) -> Iterator:
+    def _stream(self, epochs: int = 1, start_batch: int = 0) -> Iterator:
         """Producer-thread stream over ``epochs`` epochs (-1 = forever).
 
         ONE producer thread and ONE worker pool serve the whole stream —
         per-epoch thread/pool churn (the previous design) both costs
         startup latency on 1-batch epochs and multiplies exposure to
         thread-start stalls under heavy host load.
+
+        ``start_batch``: resume into the deterministic global batch
+        sequence at this offset (epoch = start_batch // len(self), batch
+        within it = start_batch % len(self)) — with per-epoch keyed
+        shuffles and per-(epoch, index) augmentation rngs, a resumed run
+        replays exactly the batches an uninterrupted run would have seen.
         """
         if len(self) == 0:
             # an empty loader would otherwise spin epochs forever in the
@@ -87,10 +98,14 @@ class DataLoader:
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                e = 0
-                while epochs < 0 or e < epochs:
-                    idx = self._epoch_indices()
-                    for i in range(len(self)):
+                e = start_batch // len(self)
+                first = start_batch % len(self)
+                end = None if epochs < 0 else start_batch // len(self) + epochs
+                while end is None or e < end:
+                    if hasattr(self.dataset, "set_epoch"):
+                        self.dataset.set_epoch(e)
+                    idx = self._epoch_indices(e)
+                    for i in range(first, len(self)):
                         if stop.is_set():
                             return
                         batch_idx = idx[i * self.batch_size:
@@ -98,6 +113,7 @@ class DataLoader:
                         samples = list(pool.map(self.dataset.__getitem__,
                                                 batch_idx))
                         q.put(_stack_batch(samples))
+                    first = 0
                     e += 1
             q.put(None)
 
@@ -115,10 +131,11 @@ class DataLoader:
     def __iter__(self) -> Iterator:
         return self._stream(epochs=1)
 
-    def infinite(self) -> Iterator:
+    def infinite(self, start_batch: int = 0) -> Iterator:
         """Epoch-less stream (reference train loop semantics,
-        train_flow.py:119-199)."""
-        return self._stream(epochs=-1)
+        train_flow.py:119-199). ``start_batch`` resumes the deterministic
+        batch sequence at a global step offset."""
+        return self._stream(epochs=-1, start_batch=start_batch)
 
 
 def device_prefetch(iterator, sharding=None, size: int = 2):

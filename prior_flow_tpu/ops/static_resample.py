@@ -241,6 +241,11 @@ def resample_static(img, grid, mode: str = "cycle_bilinear"):
     """
     g = np.asarray(grid, np.float32)
     if g.ndim == 4:
+        if g.shape[0] > 1 and not np.all(g == g[:1]):
+            raise ValueError(
+                "resample_static requires a batch-invariant grid; got a "
+                f"4-D grid of shape {g.shape} with per-sample differences "
+                "— use cycle_bilinear_sample for per-sample grids")
         g = g[0]
     plan = _get_plan(g, (img.shape[1], img.shape[2]), mode)
     return _resample(img, plan)

@@ -235,6 +235,13 @@ class Trainer:
     def run(self, train_loader, state: Optional[TrainState] = None):
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
+        if state is None:
+            # peek one dataset sample for shapes (no stream consumed, so a
+            # resumed run can open the stream at exactly its restored step)
+            sample = train_loader.dataset[0]
+            shape = (cfg.batch_size,) + tuple(np.asarray(sample[0]).shape)
+            state = self.init_state(shape)
+
         # double-buffered host->device prefetch so the next batch's HBM copy
         # overlaps the current step's compute (SURVEY.md §3.1 hot loop #2)
         from ..data.loader import device_prefetch
@@ -242,15 +249,17 @@ class Trainer:
         if self.mesh is not None:
             from ..parallel.mesh import batch_sharding
             sharding = batch_sharding(self.mesh)
+        # resume-aware: a restored full TrainState continues from its step,
+        # and the loader replays the deterministic batch sequence from there
+        # (per-epoch keyed shuffles + per-(epoch, index) augmentation rngs),
+        # so a resumed run trains on the same data an uninterrupted one would
+        total_steps = int(state.step)
         it = device_prefetch(
-            (tuple(b[:4]) for b in train_loader.infinite()), sharding)
+            (tuple(b[:4]) for b in train_loader.infinite(
+                start_batch=total_steps)), sharding)
         first = next(it)
-        if state is None:
-            state = self.init_state(first[0].shape)
 
         step_fn = self.compile_step(state, first)
-        # resume-aware: a restored full TrainState continues from its step
-        total_steps = int(state.step)
         batch = first
         t_last = time.perf_counter()
         while total_steps <= cfg.num_steps:

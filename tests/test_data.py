@@ -179,7 +179,7 @@ class TestLoader:
         for shard in (0, 1):
             loader = DataLoader(d, batch_size=1, shuffle=True, num_workers=1,
                                 seed=42, shard_index=shard, num_shards=2)
-            idx = loader._epoch_indices()
+            idx = loader._epoch_indices(0)
             assert len(idx) == 3
             seen.append(set(idx.tolist()))
         assert seen[0].isdisjoint(seen[1])
@@ -193,3 +193,44 @@ class TestLoader:
         it = loader.infinite()
         seen = [next(it) for _ in range(7)]  # > one epoch (3 batches)
         assert len(seen) == 7
+
+
+class TestDeterministicAugmentation:
+    """Per-sample counter-derived augmentation rngs (upgrade over the
+    reference's per-worker seeding, core/datasets.py:118-124)."""
+
+    def _loader(self, root, workers, seed=7):
+        d = MPFDataset(split="test", scene="EFT", root=root,
+                       aug_params={"do_flip": False})
+        d.is_test = False
+        return DataLoader(d, batch_size=2, shuffle=True, num_workers=workers,
+                          seed=seed)
+
+    def test_batches_identical_across_thread_counts(self, tmp_path):
+        root = _make_mpf_tree(str(tmp_path), n=7)
+        a = [b for _, b in zip(range(6), self._loader(root, 1).infinite())]
+        b = [b for _, b in zip(range(6), self._loader(root, 4).infinite())]
+        for x, y in zip(a, b):
+            for xa, ya in zip(x, y):
+                np.testing.assert_array_equal(xa, ya)
+
+    def test_epochs_draw_fresh_augmentations(self, tmp_path):
+        root = _make_mpf_tree(str(tmp_path), n=5)
+        d = MPFDataset(split="test", scene="EFT", root=root,
+                       aug_params={"do_flip": False})
+        d.is_test = False
+        d.set_epoch(0)
+        s0 = d[0]
+        d.set_epoch(1)
+        s1 = d[0]
+        assert any(not np.array_equal(a, b) for a, b in zip(s0, s1))
+
+    def test_resume_replays_batch_sequence(self, tmp_path):
+        """infinite(start_batch=k) == batches k.. of a run from scratch."""
+        root = _make_mpf_tree(str(tmp_path), n=7)
+        full = [b for _, b in zip(range(8), self._loader(root, 2).infinite())]
+        resumed = [b for _, b in zip(
+            range(5), self._loader(root, 2).infinite(start_batch=3))]
+        for x, y in zip(full[3:], resumed):
+            for xa, ya in zip(x, y):
+                np.testing.assert_array_equal(xa, ya)
