@@ -3,29 +3,33 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Baseline: the reference publishes no throughput numbers. REF_FPS_RTX3090 is
-a documented literature-derived estimate (see BASELINE.md "Baseline
-methodology"): RAFT's published 10 FPS @ 1024x440 on a 1080 Ti, scaled by a
-3090's ~2.2x advantage, the 1.16x pixel-count increase to 512x1024, and the
-~3x cost of PriOr-RAFT over single-branch RAFT (dual branch + DCCL cross
-lookups + per-call grid regeneration). A same-host CPU anchor is also
-recorded in BASELINE.md (tools/bench_reference_cpu.py).
+a documented literature-derived estimate with a 4-8 pairs/s uncertainty
+band (see BASELINE.md "Baseline methodology"): RAFT's published 10 FPS @
+1024x440 on a 1080 Ti, scaled by a 3090's ~2.2x advantage, the 1.16x
+pixel-count increase to 512x1024, and the ~3x cost of PriOr-RAFT over
+single-branch RAFT. ``vs_baseline`` uses the 6.0 point estimate;
+``vs_baseline_band`` spans the 4-8 band so the JSON does not overstate the
+estimate's precision. A same-host CPU anchor is recorded in BASELINE.md
+(tools/bench_reference_cpu.py).
+
+MFU is computed from the COMPILED graph's own cost analysis (XLA flop
+count / wall clock / chip peak), not a hand-estimated flop count.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
-REF_FPS_RTX3090 = 6.0  # derived estimate, band 4-8 (BASELINE.md)
+REF_FPS_RTX3090 = 6.0   # derived point estimate (BASELINE.md)
+REF_FPS_BAND = (4.0, 8.0)
 
 H, W = 512, 1024
 ITERS = 12
 WARMUP = 2
 RUNS = 12
 
-# rough per-pair FLOP count of the compiled forward (encoders + volumes +
-# 12 iterations of GRU/DCCL/upsampling), used only for the MFU estimate
-APPROX_TFLOP_PER_PAIR = 1.9
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
@@ -39,23 +43,39 @@ def main():
 
     from prior_flow_tpu.models import PriOrRAFT
 
-    model = PriOrRAFT(mixed_precision=True, lookup_mode="pallas")
+    # the production default: lookup_mode='auto' resolves to the fused
+    # Pallas kernel on TPU — bench measures exactly what the CLIs run
+    model = PriOrRAFT(mixed_precision=True)
     rng = jax.random.PRNGKey(0)
     img1 = jax.random.uniform(rng, (1, H, W, 3)) * 255.0
     img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (1, H, W, 3)) * 255.0
     variables = model.init(rng, img1, img2, iters=1)
 
-    # reduce on device, fetch the scalar: forces real completion even through
-    # async device tunnels where block_until_ready returns early
+    # AOT compile once (also yields the XLA flop count for a MEASURED MFU)
     fwd = jax.jit(lambda v, a, b: model.apply(v, a, b, iters=ITERS,
                                               test_mode=True).sum())
+    print("compiling...", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    compiled = fwd.lower(variables, img1, img2).compile()
+    print(f"compiled in {time.perf_counter() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # reduce on device, fetch the scalar: forces real completion even
+    # through async device tunnels where block_until_ready returns early
     for _ in range(WARMUP):
-        float(fwd(variables, img1, img2))
+        float(compiled(variables, img1, img2))
 
     times = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        out = fwd(variables, img1, img2)
+        out = compiled(variables, img1, img2)
         _ = float(out)
         times.append(time.perf_counter() - t0)
     times.sort()
@@ -63,17 +83,22 @@ def main():
     p90 = times[int(len(times) * 0.9)]
 
     fps = 1.0 / p50
-    print(json.dumps({
-        "metric": f"frame-pairs/sec @ {H}x{W}, {ITERS} GRU iters, bf16, 1 chip",
+    rec = {
+        "metric": f"frame-pairs/sec @ {H}x{W}, {ITERS} GRU iters, bf16, "
+                  "1 chip",
         "value": round(fps, 3),
         "unit": "pairs/s",
-        "vs_baseline": round(fps / REF_FPS_RTX3090, 3),
+        "vs_baseline": round(fps / REF_FPS_RTX3090, 2),
+        "vs_baseline_band": [round(fps / REF_FPS_BAND[1], 2),
+                             round(fps / REF_FPS_BAND[0], 2)],
         "p50_ms": round(p50 * 1e3, 1),
         "p90_ms": round(p90 * 1e3, 1),
-        "mfu_est": round(APPROX_TFLOP_PER_PAIR * fps / V5E_PEAK_BF16_TFLOPS,
-                         4),
         "baseline_note": "RTX3090 est 6.0 pairs/s, band 4-8 (BASELINE.md)",
-    }))
+    }
+    if flops:
+        rec["tflop_per_pair"] = round(flops / 1e12, 3)
+        rec["mfu"] = round(flops * fps / (V5E_PEAK_BF16_TFLOPS * 1e12), 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

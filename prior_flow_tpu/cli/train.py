@@ -49,6 +49,12 @@ def build_parser():
     parser.add_argument("--gamma", type=float, default=0.8)
     parser.add_argument("--add_noise", action="store_true")
 
+    parser.add_argument("--mesh", type=str, default="auto",
+                        help="device mesh: 'auto' = 1D data-parallel over "
+                             "all devices; 'DPxSP' (e.g. '2x4') = 2D "
+                             "data x space mesh sharding batch AND image "
+                             "height (divides the correlation volume "
+                             "across chips)")
     parser.add_argument("--save_path", type=str, default="./checkpoints")
     parser.add_argument("--data_root", type=str, default=None)
     parser.add_argument("--wandb", action="store_true")
@@ -70,7 +76,7 @@ def main(argv=None):
     from .. import eval as E
     from ..data.datasets import fetch_dataloader
     from ..models import PriOrRAFT
-    from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import make_mesh, make_mesh_2d
     from ..train.trainer import Trainer, TrainerConfig
     from ..utils.logger import MetricLogger
 
@@ -89,7 +95,11 @@ def main(argv=None):
 
     model = PriOrRAFT(dropout=cfg.dropout,
                       mixed_precision=cfg.mixed_precision)
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if args.mesh == "auto":
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
+    else:
+        dp, sp = (int(t) for t in args.mesh.lower().split("x"))
+        mesh = make_mesh_2d(dp, sp)
 
     logger = MetricLogger.default(
         run_dir=os.path.join(args.save_path, "logs"), name=args.name,

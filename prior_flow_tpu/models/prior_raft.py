@@ -95,9 +95,11 @@ class PriOrRAFT(nn.Module):
     # XLA matmul/conv precision: None = backend default (fastest on TPU),
     # 'highest' = full fp32 accumulation (checkpoint-parity mode).
     precision: Optional[str] = None
-    # DCCL lookup implementation: 'mxu' (one-hot matmuls), 'pallas', or
-    # 'gather'.
-    lookup_mode: str = "mxu"
+    # DCCL lookup implementation: 'auto' resolves to the fused Pallas
+    # kernel on TPU and the one-hot-matmul path elsewhere, so every
+    # production surface (CLIs, entry(), bench) runs the fast path by
+    # default; explicit 'mxu' / 'pallas' / 'gather' override.
+    lookup_mode: str = "auto"
     # 'volume' materialises the O((HW/64)^2) cost volume once (fastest for
     # iterative lookups); 'onthefly' evaluates correlation per tap from the
     # pooled feature pyramid — O(HW*C) memory, the alt_cuda_corr capability
@@ -115,10 +117,13 @@ class PriOrRAFT(nn.Module):
                                  dtype=dtype)
         self.ODDC = BasicMultiUpdateBlock(hidden_dim=self.hidden_dim, dtype=dtype)
         self.update_block = BasicUpdateBlock(hidden_dim=self.hidden_dim, dtype=dtype)
+        mode = self.lookup_mode
+        if mode == "auto":
+            mode = "pallas" if jax.default_backend() == "tpu" else "mxu"
         if self.corr_mode == "onthefly":
             self._dccl = DCCLOnTheFly(num_levels=self.corr_levels,
                                       radius=self.corr_radius)
-        elif self.lookup_mode == "pallas":
+        elif mode == "pallas":
             # fused both-branch lookup: each level volume read once per
             # iteration by the gather kernel (ops/pallas/dccl_gather.py)
             self._dccl = DCCLFused(num_levels=self.corr_levels,
@@ -126,10 +131,13 @@ class PriOrRAFT(nn.Module):
         else:
             self._dccl = DCCL(num_levels=self.corr_levels,
                               radius=self.corr_radius,
-                              lookup_mode=self.lookup_mode)
+                              lookup_mode=mode)
 
     # -- one GRU iteration (reference core/prior_raft.py:170-211) ----------
-    def _step(self, carry, consts: StepConsts):
+    def _step_core(self, carry, consts: StepConsts):
+        """Shared iteration body; returns the new carry plus the two
+        upsample masks (upsampling itself is the caller's choice — the
+        test-mode scan defers it to after the loop)."""
         net_A, net_B, coords1_A, coords1_B = carry
         c = consts
 
@@ -178,10 +186,29 @@ class PriOrRAFT(nn.Module):
         coords1_A = coords1_A + delta_flow_A
         coords1_B = coords1_B + delta_flow_B
 
-        flow_up_A = upsample_flow_convex(coords1_A - c.coords0, up_mask_A)
-        flow_up_B = upsample_flow_convex(coords1_B - c.coords0, up_mask_B)
+        return ((net_A, net_B, coords1_A, coords1_B),
+                (up_mask_A, up_mask_B))
 
-        return (net_A, net_B, coords1_A, coords1_B), (flow_up_A, flow_up_B)
+    def _step(self, carry, consts: StepConsts):
+        """Training/eval step: per-iteration convex upsampling of both
+        branches (the reference appends both upsampled predictions every
+        iteration, core/prior_raft.py:199-211)."""
+        carry, (up_mask_A, up_mask_B) = self._step_core(carry, consts)
+        _, _, coords1_A, coords1_B = carry
+        flow_up_A = upsample_flow_convex(coords1_A - consts.coords0, up_mask_A)
+        flow_up_B = upsample_flow_convex(coords1_B - consts.coords0, up_mask_B)
+        return carry, (flow_up_A, flow_up_B)
+
+    def _step_test(self, carry, consts: StepConsts):
+        """Inference step: identical recurrence, but only branch A's LAST
+        upsample mask is kept (in the carry) and nothing is upsampled
+        inside the loop — the final 8x upsample runs ONCE after the scan.
+        Output-equivalent to ``_step`` + taking the last A prediction
+        (test_mode, core/prior_raft.py:212-213) with 12x less upsample work
+        and no (iters, B, H, W, 2) prediction stacks; branch B's dead mask
+        head is DCE'd by XLA."""
+        core, (up_mask_A, _) = self._step_core(carry[:4], consts)
+        return core + (up_mask_A,), ()
 
     def __call__(self, image1, image2, iters: int = 12,
                  init_flow: Optional[jnp.ndarray] = None,
@@ -259,7 +286,7 @@ class PriOrRAFT(nn.Module):
         )
         carry0 = (net_A, net_B, coords1_A, coords1_B)
 
-        step = PriOrRAFT._step
+        step = PriOrRAFT._step_test if test_mode else PriOrRAFT._step
         if self.remat:
             if self.remat_policy == "dots":
                 # save every conv/matmul result, recompute elementwise ops:
@@ -278,8 +305,13 @@ class PriOrRAFT(nn.Module):
             out_axes=0,
             length=iters,
         )
-        _, (preds_A, preds_B) = scan(self, carry0, consts)
-
         if test_mode:
-            return preds_A[-1]
+            # single final upsample (see _step_test)
+            # dtype matches the update blocks' mask heads (bf16 under
+            # mixed precision) so the scan carry is type-stable
+            mask0 = jnp.zeros((B, h8, w8, 576), net_A.dtype)
+            carry, _ = scan(self, carry0 + (mask0,), consts)
+            _, _, coords1_A, _, up_mask_A = carry
+            return upsample_flow_convex(coords1_A - coords0, up_mask_A)
+        _, (preds_A, preds_B) = scan(self, carry0, consts)
         return preds_A, preds_B

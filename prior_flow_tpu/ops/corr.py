@@ -351,9 +351,26 @@ class DCCLFused:
         interpret = jax.default_backend() != "tpu"
         # grids wider than one lane row fall back to XLA-side coord einsums
         grid_in_kernel = self.grid_in_kernel and gridA3.shape[1] <= 128
+        L = self.num_levels
+        scales = [1.0 / (2.0 ** i) for i in range(L)]
+
+        if not grid_in_kernel:
+            # ONE window-sampling einsum per branch for ALL levels: the
+            # rotation grid is shared, only the window centres differ by
+            # the level scale (core/corr.py:132-133, with the reference's
+            # unscaled-for-i>0 quirk) — stacking the 4 levels' centres
+            # along the query axis quarters the launch count and feeds the
+            # MXU 4x-taller matmuls
+            cenA_all = jnp.concatenate([cqA * s for s in scales], axis=1)
+            cenB_all = jnp.concatenate([cqB * s for s in scales], axis=1)
+            crossA_all = sample_image_window_mxu(bcast(gridA3), cenA_all,
+                                                 self.radius)
+            crossB_all = sample_image_window_mxu(bcast(gridB3), cenB_all,
+                                                 self.radius)
+
         ownA_out, crossA_out, ownB_out, crossB_out = [], [], [], []
-        for i in range(self.num_levels):
-            scale = 1.0 / (2.0 ** i)
+        for i in range(L):
+            scale = scales[i]
             # pyramid entries are either raw (B, Q, Hl, Wl) arrays or
             # pre-packed (packed, meta) pairs — the model packs ONCE
             # outside the GRU scan so no per-iteration repack copies occur
@@ -364,34 +381,34 @@ class DCCLFused:
                 pA, mA = pack_volume(pyr_A[i])
                 pB, mB = pack_volume(pyr_B[i])
             if grid_in_kernel:
-                # cross-view tap coords (the 1/8-res rotation grid sampled
-                # at level-scaled window coords, core/corr.py:132-133 with
-                # the unscaled-for-i>0 quirk) are computed INSIDE the kernel
+                # cross-view tap coords computed INSIDE the kernel
                 ownA, crossA_v, ownB, crossB_v = dccl_packed_lookup_grid(
                     pA, pB, mA, mB, cqA, cqB, gridA3, gridB3,
                     scale, interpret)
             else:
-                cenA = cqA * scale
-                cenB = cqB * scale
-                crossA = sample_image_window_mxu(bcast(gridA3), cenA,
-                                                 self.radius)
-                crossB = sample_image_window_mxu(bcast(gridB3), cenB,
-                                                 self.radius)
                 ownA, crossA_v, ownB, crossB_v = dccl_packed_lookup(
-                    pA, pB, mA, mB, cenA, cenB, crossA, crossB,
+                    pA, pB, mA, mB, cqA * scale, cqB * scale,
+                    crossA_all[:, i * Q:(i + 1) * Q],
+                    crossB_all[:, i * Q:(i + 1) * Q],
                     1.0, interpret)
             ownA_out.append(ownA.reshape(B, h1, w1, -1))
             ownB_out.append(ownB.reshape(B, h1, w1, -1))
-            # rotate each cross result field back into its query frame
-            # (core/corr.py:137-139); at static rotation grids the
-            # transpose-plan resampler keeps the backward scatter-free
-            crossA_out.append(back_rot(
-                crossA_v.reshape(B, h1, w1, -1), b2a_8))
-            crossB_out.append(back_rot(
-                crossB_v.reshape(B, h1, w1, -1), a2b_8))
+            crossA_out.append(crossA_v.reshape(B, h1, w1, -1))
+            crossB_out.append(crossB_v.reshape(B, h1, w1, -1))
 
-        cat = lambda xs: jnp.concatenate(xs, axis=-1).astype(jnp.float32)
-        return cat(ownA_out), cat(crossA_out), cat(ownB_out), cat(crossB_out)
+        cat = lambda xs: jnp.concatenate(xs, axis=-1)
+        # rotate the cross result fields back into their query frames in
+        # ONE per-branch resample over the level-concatenated channels
+        # (core/corr.py:137-139 does this per level; resampling is
+        # channelwise, so rotate-then-concat == concat-then-rotate); at
+        # static rotation grids the transpose-plan resampler keeps the
+        # backward scatter-free
+        crossA = back_rot(cat(crossA_out), b2a_8)
+        crossB = back_rot(cat(crossB_out), a2b_8)
+        return (cat(ownA_out).astype(jnp.float32),
+                crossA.astype(jnp.float32),
+                cat(ownB_out).astype(jnp.float32),
+                crossB.astype(jnp.float32))
 
 
 class DCCLOnTheFly:

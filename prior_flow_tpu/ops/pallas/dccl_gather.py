@@ -44,11 +44,13 @@ NTAP = 81  # (2*radius+1)**2 with radius 4
 
 
 def _row_select(g, rsel, R):
-    """Per-(tile,lane) row selection from ``g`` (T, R, S) f32.
+    """Per-(tile,lane) row selection from ``g`` (T, R, S), any dtype.
 
     rsel: (T, S) int32 in [0, R). Binary halving network down to 8 rows
     (sublane-aligned static slices), then a one-hot reduce. R must be a
-    power of two (volume extents are).
+    power of two (volume extents are). Runs in the VOLUME dtype (bf16 on
+    the fast path — selection preserves values exactly and halves the VPU
+    traffic of the halving network); callers upcast the selected corners.
     """
     cur = g
     m = R
@@ -59,17 +61,25 @@ def _row_select(g, rsel, R):
     if m > 1:
         oh = (jax.lax.broadcasted_iota(jnp.int32, (1, m, 1), 1)
               == (rsel & (m - 1))[:, None, :])
-        return jnp.sum(jnp.where(oh, cur, 0.0), axis=1)
+        return jnp.sum(jnp.where(oh, cur, jnp.zeros((), cur.dtype)), axis=1)
     return cur[:, 0, :]
 
 
 def _sample_taps(Vflat, T, R, Hl, Wl, tapx, tapy):
     """Bilinear sample of per-query packed volume rows at per-tap coords.
 
-    Vflat: (T*R, 128) f32; tapx/tapy: (T, 128) f32 (extra slots ignored).
-    Semantics == cycle_bilinear_sampler: x wrapped mod Wl with the zero
-    blend at the (Wl-1, Wl) seam; y zero-padded outside [0, Hl-1].
-    Returns (T, 128) f32.
+    Vflat: (T*R, 128) in the volume's storage dtype; tapx/tapy: (T, 128)
+    f32 (extra slots ignored). Semantics == cycle_bilinear_sampler: x
+    wrapped mod Wl with the zero blend at the (Wl-1, Wl) seam; y
+    zero-padded outside [0, Hl-1]. Returns (T, 128) f32.
+
+    bf16 fast path: Mosaic's lane gather is 32-bit only, so consecutive
+    bf16 rows are BITCAST into i32 row-pair words (row 2p in the low half,
+    2p+1 in the high half — v5e sublane packing). One i32 gather then
+    fetches two volume rows at once, the row-select network runs over R/2
+    word rows, and the wanted half is extracted by shifting into f32 bit
+    position — halving both gather traffic and select work vs f32, with
+    EXACT results (bit extraction, no rounding).
     """
     tx = tapx % Wl
     x0 = jnp.floor(tx)
@@ -86,26 +96,47 @@ def _sample_taps(Vflat, T, R, Hl, Wl, tapx, tapy):
     x0i = jnp.clip(x0, 0, Wl - 1).astype(jnp.int32)
     x1i = jnp.minimum(x0i + 1, Wl - 1)
 
-    def gather(lane):
-        idx = jnp.broadcast_to(lane[:, None, :], (T, R, LANES)
-                               ).reshape(T * R, LANES)
-        return jnp.take_along_axis(Vflat, idx, axis=1).reshape(T, R, LANES)
+    paired = Vflat.dtype == jnp.bfloat16 and R % 2 == 0
+    if paired:
+        W32 = pltpu.bitcast(Vflat, jnp.int32)  # (T*R//2, 128) row pairs
+        Rw = R // 2
+
+        def gather(lane):
+            idx = jnp.broadcast_to(lane[:, None, :], (T, Rw, LANES)
+                                   ).reshape(T * Rw, LANES)
+            return jnp.take_along_axis(W32, idx, axis=1
+                                       ).reshape(T, Rw, LANES)
+
+        def pick(g, rsel):
+            word = _row_select(g, rsel >> 1, Rw)
+            hi = (rsel & 1) == 1
+            bits = jnp.where(hi, word & jnp.int32(-65536), word << 16)
+            return pltpu.bitcast(bits, jnp.float32)
+    else:
+        Vf = Vflat.astype(jnp.float32)
+
+        def gather(lane):
+            idx = jnp.broadcast_to(lane[:, None, :], (T, R, LANES)
+                                   ).reshape(T * R, LANES)
+            return jnp.take_along_axis(Vf, idx, axis=1).reshape(T, R, LANES)
+
+        def pick(g, rsel):
+            return _row_select(g, rsel, R)
 
     # packed layout: flat = y*Wl + x -> row = flat // 128, lane = flat % 128
     if Wl >= LANES and Wl % LANES == 0:
-        # lane index is independent of y: share the gathers across the two
-        # y-corners (2 gathers instead of 4)
+        # lane index is independent of y: the two y-corners share a gather
         nb = Wl // LANES
         g0 = gather(x0i % LANES)
         g1 = gather(x1i % LANES)
-        v00 = _row_select(g0, y0c * nb + x0i // LANES, R)
-        v10 = _row_select(g0, y1c * nb + x0i // LANES, R)
-        v01 = _row_select(g1, y0c * nb + x1i // LANES, R)
-        v11 = _row_select(g1, y1c * nb + x1i // LANES, R)
+        v00 = pick(g0, y0c * nb + x0i // LANES)
+        v10 = pick(g0, y1c * nb + x0i // LANES)
+        v01 = pick(g1, y0c * nb + x1i // LANES)
+        v11 = pick(g1, y1c * nb + x1i // LANES)
     else:
         def corner(yc, xc):
             flat = yc * Wl + xc
-            return _row_select(gather(flat % LANES), flat // LANES, R)
+            return pick(gather(flat % LANES), flat // LANES)
 
         v00 = corner(y0c, x0i)
         v01 = corner(y0c, x1i)
@@ -193,8 +224,8 @@ def _dccl_grid_kernel(cenA_ref, cenB_ref, gA_ref, gB_ref, volA_ref, volB_ref,
                       ownA_ref, crossA_ref, ownB_ref, crossB_ref,
                       *, T, R, Hl, Wl, Hg, Wg, scale):
     """Fully fused level kernel: grid-window coords computed in-kernel."""
-    VA = volA_ref[:].astype(jnp.float32).reshape(T * R, LANES)
-    VB = volB_ref[:].astype(jnp.float32).reshape(T * R, LANES)
+    VA = volA_ref[:].reshape(T * R, LANES)
+    VB = volB_ref[:].reshape(T * R, LANES)
 
     ax, ay = _own_taps(cenA_ref[:], scale)
     ownA_ref[:] = _sample_taps(VA, T, R, Hl, Wl, ax, ay)
@@ -211,8 +242,10 @@ def _dccl_kernel(cenA_ref, cenB_ref, cAx_ref, cAy_ref, cBx_ref, cBy_ref,
                  volA_ref, volB_ref,
                  ownA_ref, crossA_ref, ownB_ref, crossB_ref,
                  *, T, R, Hl, Wl, scale):
-    VA = volA_ref[:].astype(jnp.float32).reshape(T * R, LANES)
-    VB = volB_ref[:].astype(jnp.float32).reshape(T * R, LANES)
+    # volumes stay in their storage dtype through gather + row-select
+    # (exact); _sample_taps upcasts only the selected corners
+    VA = volA_ref[:].reshape(T * R, LANES)
+    VB = volB_ref[:].reshape(T * R, LANES)
 
     ax, ay = _own_taps(cenA_ref[:], scale)
     ownA_ref[:] = _sample_taps(VA, T, R, Hl, Wl, ax, ay)
@@ -224,11 +257,17 @@ def _dccl_kernel(cenA_ref, cenB_ref, cAx_ref, cAy_ref, cBx_ref, cBy_ref,
     crossA_ref[:] = _sample_taps(VB, T, R, Hl, Wl, cAx_ref[:], cAy_ref[:])
 
 
-def _pick_tile(BQ: int, R: int, budget: int = 4 * 1024 * 1024) -> int:
-    """Largest dividing tile whose two volume tiles (bf16 in + f32 upcast)
-    stay within the VMEM budget per grid step."""
+def _pick_tile(BQ: int, R: int, budget: int = 4 * 1024 * 1024,
+               elem_bytes: int = 6) -> int:
+    """Largest dividing tile whose two volume tiles (input + gather
+    working set) stay within the VMEM budget per grid step.
+
+    ``elem_bytes``: VMEM bytes per volume element — 3 for bf16 volumes
+    (2 in + ~1 amortised gather temporaries; no f32 copy is made since the
+    row-select network runs in the storage dtype), 6 for f32.
+    """
     for t in (32, 16, 8, 4, 2, 1):
-        if BQ % t == 0 and 2 * t * R * LANES * 6 <= budget:
+        if BQ % t == 0 and 2 * t * R * LANES * elem_bytes <= budget:
             return t
     return 1
 
@@ -266,7 +305,7 @@ def _packed_call_coords(pA, pB, Hl, Wl, cen_A, cen_B, cross_A, cross_B,
                         level_scale, interpret):
     BQ, R, _ = pA.shape
     B, Q = cen_A.shape[:2]
-    T = _pick_tile(BQ, R)
+    T = _pick_tile(BQ, R, elem_bytes=3 if pA.dtype == jnp.bfloat16 else 6)
     cenA = cen_A.reshape(BQ, 2).astype(jnp.float32)
     cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
     cAx = _pad_taps(cross_A[..., 0].reshape(BQ, NTAP))

@@ -214,14 +214,24 @@ class Trainer:
         except ValueError:
             return convert_things_ckpt(sd, template)
 
+    def _batch_sharding(self):
+        """Input sharding for this trainer's mesh: P('data') on 1D meshes,
+        P('data', 'space') (batch x image-height) on 2D data x space meshes
+        — the production entry into the spatial-parallel path that divides
+        the correlation volume's query axis across chips."""
+        from ..parallel.mesh import batch_sharding, spatial_batch_sharding
+        if "space" in self.mesh.axis_names:
+            return spatial_batch_sharding(self.mesh)
+        return batch_sharding(self.mesh)
+
     def compile_step(self, state, batch):
         step_fn = make_train_step(self.model, self.tx, iters=self.cfg.iters,
                                   gamma=self.cfg.gamma,
                                   add_noise=self.cfg.add_noise)
         if self.mesh is not None:
-            from ..parallel.mesh import batch_sharding, replicated
+            from ..parallel.mesh import replicated
             rep = replicated(self.mesh)
-            bsh = batch_sharding(self.mesh)
+            bsh = self._batch_sharding()
             self._step_fn = jax.jit(
                 step_fn,
                 in_shardings=(rep, (bsh, bsh, bsh, bsh), rep),
@@ -247,8 +257,7 @@ class Trainer:
         from ..data.loader import device_prefetch
         sharding = None
         if self.mesh is not None:
-            from ..parallel.mesh import batch_sharding
-            sharding = batch_sharding(self.mesh)
+            sharding = self._batch_sharding()
         # resume-aware: a restored full TrainState continues from its step,
         # and the loader replays the deterministic batch sequence from there
         # (per-epoch keyed shuffles + per-(epoch, index) augmentation rngs),

