@@ -51,12 +51,19 @@ def main():
     img2 = jax.random.uniform(jax.random.fold_in(rng, 1), (1, H, W, 3)) * 255.0
     variables = model.init(rng, img1, img2, iters=1)
 
-    # AOT compile once (also yields the XLA flop count for a MEASURED MFU)
-    fwd = jax.jit(lambda v, a, b: model.apply(v, a, b, iters=ITERS,
-                                              test_mode=True).sum())
+    # AOT compile once (also yields the XLA flop count for a MEASURED MFU).
+    # The scalar 4th arg (scaled to numerical irrelevance) lets throughput
+    # runs CHAIN on-device: each forward consumes the previous result, so
+    # one final fetch proves all K completed while dispatches overlap the
+    # device — measuring sustained serving throughput rather than one
+    # tunnel round-trip per frame.
+    fwd = jax.jit(lambda v, a, b, s: model.apply(v, a + s * 1e-30, b,
+                                                 iters=ITERS,
+                                                 test_mode=True).sum())
+    zero = 0.0
     print("compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    compiled = fwd.lower(variables, img1, img2).compile()
+    compiled = fwd.lower(variables, img1, img2, zero).compile()
     print(f"compiled in {time.perf_counter() - t0:.1f}s", file=sys.stderr,
           flush=True)
     flops = None
@@ -70,29 +77,40 @@ def main():
     # reduce on device, fetch the scalar: forces real completion even
     # through async device tunnels where block_until_ready returns early
     for _ in range(WARMUP):
-        float(compiled(variables, img1, img2))
+        float(compiled(variables, img1, img2, zero))
 
+    # single-frame latency: synchronous round trips (includes the host
+    # dispatch / tunnel overhead a lone request pays)
     times = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
-        out = compiled(variables, img1, img2)
+        out = compiled(variables, img1, img2, zero)
         _ = float(out)
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]
     p90 = times[int(len(times) * 0.9)]
 
-    fps = 1.0 / p50
+    # sustained throughput: K chained forwards, one fetch
+    t0 = time.perf_counter()
+    out = 0.0
+    for _ in range(RUNS):
+        out = compiled(variables, img1, img2, out)
+    _ = float(out)
+    per = (time.perf_counter() - t0) / RUNS
+
+    fps = 1.0 / per
     rec = {
         "metric": f"frame-pairs/sec @ {H}x{W}, {ITERS} GRU iters, bf16, "
-                  "1 chip",
+                  "1 chip, sustained",
         "value": round(fps, 3),
         "unit": "pairs/s",
         "vs_baseline": round(fps / REF_FPS_RTX3090, 2),
         "vs_baseline_band": [round(fps / REF_FPS_BAND[1], 2),
                              round(fps / REF_FPS_BAND[0], 2)],
-        "p50_ms": round(p50 * 1e3, 1),
-        "p90_ms": round(p90 * 1e3, 1),
+        "device_ms_per_pair": round(per * 1e3, 1),
+        "latency_p50_ms": round(p50 * 1e3, 1),
+        "latency_p90_ms": round(p90 * 1e3, 1),
         "baseline_note": "RTX3090 est 6.0 pairs/s, band 4-8 (BASELINE.md)",
     }
     if flops:

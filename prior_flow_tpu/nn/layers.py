@@ -53,6 +53,14 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        out_dtype = self.dtype or x.dtype
+        if jax.default_backend() == "tpu" and x.ndim == 4:
+            # fused two-pass Pallas kernel: streams the activation in its
+            # native layout (XLA's reduce-between-convs otherwise inserts
+            # full-tensor relayout copies — ~18 ms/fnet forward at
+            # 4x512x1024, see ops/pallas/instance_norm.py)
+            from ..ops.pallas.instance_norm import instance_norm_fused
+            return instance_norm_fused(x, self.epsilon, out_dtype)
         # one-pass statistics (E[x^2] - E[x]^2, f32 accumulation): ~20%
         # faster than the centred two-pass form at encoder scale; the
         # cancellation error is ~1e-6 for conv-activation magnitudes
@@ -61,7 +69,6 @@ class InstanceNorm(nn.Module):
                       dtype=jnp.float32)
         var = jnp.maximum(m2 - jnp.square(m), 0.0)
         scale = jax.lax.rsqrt(var + self.epsilon)
-        out_dtype = self.dtype or x.dtype
         if x.dtype == jnp.float32:
             return ((x - m) * scale).astype(out_dtype)
         return ((x - m.astype(x.dtype)) * scale.astype(x.dtype)).astype(

@@ -171,6 +171,35 @@ def sample_image_window_mxu(img, coords, radius: int):
     return out.reshape(B, Q, n * n, C)
 
 
+def sample_image_window_planes(img_x, img_y, coords, radius: int):
+    """``sample_image_window_mxu`` with the grid channels PRE-SPLIT and
+    per-channel outputs.
+
+    img_x, img_y: (B, H, W) the rotation grid's x / y planes; coords:
+    (B, Q, 2) window centres. Returns (out_x, out_y), each (B, Q, K).
+
+    Identical math to the channels-last form; emitting each channel as its
+    own (B, Q, 9, 9) einsum lets the result reshape+pad straight into the
+    Pallas kernel's (B*Q, 128) tap-plane operands — the channels-last
+    output needed two full-tensor relayout copies per branch per iteration
+    (~18 ms/forward at 512x1024, measured in the profiler) just to slice
+    the channel out.
+    """
+    B, H, W = img_x.shape
+    Q = coords.shape[1]
+    n = 2 * radius + 1
+    wy = _window_weights(coords[..., 1], H, radius, wrap=False)  # (B,Q,n,H)
+    wx = _window_weights(coords[..., 0], W, radius, wrap=True)   # (B,Q,n,W)
+    outs = []
+    for img in (img_x, img_y):
+        tmp = jnp.einsum("bqjr,brc->bqjc", wy, img,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("bqjc,bqic->bqij", tmp, wx,
+                         preferred_element_type=jnp.float32)
+        outs.append(out.reshape(B, Q, n * n))
+    return outs[0], outs[1]
+
+
 def sample_volume_level(vol_l, coords):
     """Bilinear wrap-x sample of a per-query level volume.
 
@@ -314,18 +343,22 @@ class DCCLFused:
     """
 
     def __init__(self, num_levels: int = 4, radius: int = 4,
-                 grid_in_kernel: bool = False):
+                 grid_in_kernel: bool = True):
         self.num_levels = num_levels
         self.radius = radius
-        # compute the cross-view window coords inside the kernel instead of
-        # via XLA einsums. Semantically identical; measured SLOWER end to
-        # end on v5e (217 vs 165 ms at 512x1024) — kept for future tuning.
+        # compute the cross-view window coords inside the kernel (one-hot
+        # MXU strip matmul + lane gathers, exact f32). Any XLA-side
+        # formulation of this step either runs the per-query x-bilinear as
+        # a ~0.1 TFLOP/s batched one-hot matvec or forces multi-hundred-MB
+        # relayout copies around the kernel operands (profiled at ~50-70
+        # ms/forward at 512x1024); False falls back to the einsum + planes
+        # path (also used automatically for grids wider than 128).
         self.grid_in_kernel = grid_in_kernel
 
     def __call__(self, coords_A, coords_B, pyr_A: Sequence, pyr_B: Sequence,
                  a2b_w2c_8, b2a_w2c_8, a2b_8, b2a_8):
-        from .pallas.dccl_gather import (dccl_packed_lookup,
-                                         dccl_packed_lookup_grid,
+        from .pallas.dccl_gather import (dccl_packed_lookup_grid,
+                                         dccl_packed_lookup_planes,
                                          pack_volume)
 
         B, h1, w1, _ = coords_A.shape
@@ -354,19 +387,27 @@ class DCCLFused:
         L = self.num_levels
         scales = [1.0 / (2.0 ** i) for i in range(L)]
 
+        Hg, Wg = gridA3.shape[0], gridA3.shape[1]
         if not grid_in_kernel:
-            # ONE window-sampling einsum per branch for ALL levels: the
-            # rotation grid is shared, only the window centres differ by
-            # the level scale (core/corr.py:132-133, with the reference's
-            # unscaled-for-i>0 quirk) — stacking the 4 levels' centres
-            # along the query axis quarters the launch count and feeds the
-            # MXU 4x-taller matmuls
-            cenA_all = jnp.concatenate([cqA * s for s in scales], axis=1)
-            cenB_all = jnp.concatenate([cqB * s for s in scales], axis=1)
-            crossA_all = sample_image_window_mxu(bcast(gridA3), cenA_all,
-                                                 self.radius)
-            crossB_all = sample_image_window_mxu(bcast(gridB3), cenB_all,
-                                                 self.radius)
+            # Cross-view grid-window sampling (core/corr.py:132-133, with
+            # the reference's unscaled-for-i>0 quirk) for ALL levels at
+            # once — levels stacked on the BATCH axis so per-level slices
+            # are contiguous row ranges; per-channel plane outputs feed the
+            # kernel without channel-slicing relayouts.
+            from .pallas.dccl_gather import _pad_taps
+            cenA_all = jnp.concatenate([cqA * s for s in scales], axis=0)
+            cenB_all = jnp.concatenate([cqB * s for s in scales], axis=0)
+            cAx_all, cAy_all = sample_image_window_planes(
+                jnp.broadcast_to(gridA3[..., 0], (L * B, Hg, Wg)),
+                jnp.broadcast_to(gridA3[..., 1], (L * B, Hg, Wg)),
+                cenA_all, self.radius)
+            cBx_all, cBy_all = sample_image_window_planes(
+                jnp.broadcast_to(gridB3[..., 0], (L * B, Hg, Wg)),
+                jnp.broadcast_to(gridB3[..., 1], (L * B, Hg, Wg)),
+                cenB_all, self.radius)
+            pad4 = lambda p: _pad_taps(p.reshape(L * B * Q, -1))
+            cAx_all, cAy_all = pad4(cAx_all), pad4(cAy_all)
+            cBx_all, cBy_all = pad4(cBx_all), pad4(cBy_all)
 
         ownA_out, crossA_out, ownB_out, crossB_out = [], [], [], []
         for i in range(L):
@@ -380,16 +421,17 @@ class DCCLFused:
             else:
                 pA, mA = pack_volume(pyr_A[i])
                 pB, mB = pack_volume(pyr_B[i])
+            BQ = B * Q
+            sl = slice(i * BQ, (i + 1) * BQ)
             if grid_in_kernel:
                 # cross-view tap coords computed INSIDE the kernel
                 ownA, crossA_v, ownB, crossB_v = dccl_packed_lookup_grid(
                     pA, pB, mA, mB, cqA, cqB, gridA3, gridB3,
                     scale, interpret)
             else:
-                ownA, crossA_v, ownB, crossB_v = dccl_packed_lookup(
+                ownA, crossA_v, ownB, crossB_v = dccl_packed_lookup_planes(
                     pA, pB, mA, mB, cqA * scale, cqB * scale,
-                    crossA_all[:, i * Q:(i + 1) * Q],
-                    crossB_all[:, i * Q:(i + 1) * Q],
+                    cAx_all[sl], cAy_all[sl], cBx_all[sl], cBy_all[sl],
                     1.0, interpret)
             ownA_out.append(ownA.reshape(B, h1, w1, -1))
             ownB_out.append(ownB.reshape(B, h1, w1, -1))

@@ -169,6 +169,13 @@ def _grid_window(Gcat, cen, T, Hg, Wg, scale):
     (each zero-padded to 128 lanes, valid width Wg <= 128);
     cen: (T, 2) f32 unscaled centres.
     Returns (tapx, tapy): (T, 128) f32 planes, slots k = i*9 + j.
+
+    Because the window offsets are integers, all 81 taps share one
+    (fx, fy) fractional pair per query: the ten needed grid rows are
+    fetched with a single one-hot MXU matmul (f32 — EXACT, unlike the XLA
+    einsum path which rounds the grid to bf16 at default precision), the
+    y-bilinear is a 2-row blend of statically-sliced strips, and the
+    x-bilinear is one lane gather per corner per strip row.
     """
     cx = cen[:, 0:1] * scale
     cy = cen[:, 1:2] * scale
@@ -178,7 +185,8 @@ def _grid_window(Gcat, cen, T, Hg, Wg, scale):
     x0 = jnp.floor(tx)
     fx = tx - x0
 
-    # strip rows j in 0..9 at y0 - 4 + j; out-of-range rows one-hot to zero
+    # grid rows y0 - 4 + j for j in 0..9; out-of-range rows one-hot to
+    # zero (the reference sampler's y zero-padding)
     jrow = jax.lax.broadcasted_iota(jnp.int32, (1, 10, 1), 1
                                     ).astype(jnp.float32) - 4.0
     hcol = jax.lax.broadcasted_iota(jnp.int32, (T, 10, Hg), 2
@@ -186,44 +194,42 @@ def _grid_window(Gcat, cen, T, Hg, Wg, scale):
     A = (hcol == (y0[:, :, None] + jrow)).astype(jnp.float32)
     S = jax.lax.dot_general(A.reshape(T * 10, Hg), Gcat,
                             (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (T*10, 256)
+                            preferred_element_type=jnp.float32
+                            ).reshape(T, 10, 2 * LANES)
 
-    # per-tap x columns: c_{i(k)} and c_{i(k)+1} with wrap
+    # per-tap x corners: c_{i(k)} and c_{i(k)+1} with wrap + seam quirk
     kk = jax.lax.broadcasted_iota(jnp.int32, (T, LANES), 1)
-    ik = jnp.where(kk < NTAP, kk // 9, 0).astype(jnp.float32)
-    c0 = (x0 + ik - 4.0) % Wg                       # (T, 128)
-    c1 = (c0 + 1.0) % Wg
-    mseam = (c0 != (Wg - 1)).astype(jnp.float32)    # corner-2 seam quirk
-
-    def chan_gather(plane, cols):
-        idx = jnp.broadcast_to(cols.astype(jnp.int32)[:, None, :],
-                               (T, 10, LANES)).reshape(T * 10, LANES)
-        return jnp.take_along_axis(plane, idx, axis=1).reshape(T, 10, LANES)
-
-    # constant row-blend masks: tap k uses strip rows k%9 and k%9+1
-    jrows = jax.lax.broadcasted_iota(jnp.int32, (1, 10, 1), 1)
-    kmod = jnp.where(kk < NTAP, kk % 9, 0)[:, None, :]
-    M0 = (jrows == kmod).astype(jnp.float32)
-    M1 = (jrows == kmod + 1).astype(jnp.float32)
+    ii = jnp.where(kk < NTAP, kk // 9, 0).astype(jnp.float32) - 4.0
+    jj = jnp.where(kk < NTAP, kk % 9, 0)
+    c0 = (x0 + ii) % Wg                             # (T, 128)
+    seam = (c0 != (Wg - 1)).astype(jnp.float32)
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, Wg - 1)
+    w0 = 1.0 - fx
+    w1 = fx * seam
 
     outs = []
     for c in range(2):
-        plane = S[:, c * LANES:(c + 1) * LANES]
-        P0 = chan_gather(plane, c0)
-        P1 = chan_gather(plane, c1)
-        v00 = jnp.sum(P0 * M0, axis=1)
-        v10 = jnp.sum(P0 * M1, axis=1)
-        v01 = jnp.sum(P1 * M0, axis=1)
-        v11 = jnp.sum(P1 * M1, axis=1)
-        outs.append((1 - fy) * ((1 - fx) * v00 + fx * v01 * mseam)
-                    + fy * ((1 - fx) * v10 + fx * v11 * mseam))
+        plane = S[:, :, c * LANES:(c + 1) * LANES]  # (T, 10, 128)
+        acc = jnp.zeros((T, LANES), jnp.float32)
+        for j in range(9):
+            row = (1.0 - fy) * plane[:, j, :] + fy * plane[:, j + 1, :]
+            v = w0 * jnp.take_along_axis(row, c0i, axis=1) \
+                + w1 * jnp.take_along_axis(row, c1i, axis=1)
+            acc = acc + jnp.where(jj == j, v, 0.0)
+        outs.append(acc)
     return outs[0], outs[1]
 
 
 def _dccl_grid_kernel(cenA_ref, cenB_ref, gA_ref, gB_ref, volA_ref, volB_ref,
                       ownA_ref, crossA_ref, ownB_ref, crossB_ref,
+                      cAx_ref, cAy_ref, cBx_ref, cBy_ref,
                       *, T, R, Hl, Wl, Hg, Wg, scale):
-    """Fully fused level kernel: grid-window coords computed in-kernel."""
+    """Fully fused level kernel: grid-window coords computed in-kernel.
+
+    The extracted cross-view tap coords are also written out — they are
+    the VJP's scatter targets (saving them beats recomputing: the in-kernel
+    f32 strips are exact while the XLA einsum recompute rounds to bf16)."""
     VA = volA_ref[:].reshape(T * R, LANES)
     VB = volB_ref[:].reshape(T * R, LANES)
 
@@ -233,8 +239,12 @@ def _dccl_grid_kernel(cenA_ref, cenB_ref, gA_ref, gB_ref, volA_ref, volB_ref,
     ownB_ref[:] = _sample_taps(VB, T, R, Hl, Wl, bx, by)
 
     cAx, cAy = _grid_window(gA_ref[:], cenA_ref[:], T, Hg, Wg, scale)
+    cAx_ref[:] = cAx
+    cAy_ref[:] = cAy
     crossA_ref[:] = _sample_taps(VB, T, R, Hl, Wl, cAx, cAy)
     cBx, cBy = _grid_window(gB_ref[:], cenB_ref[:], T, Hg, Wg, scale)
+    cBx_ref[:] = cBx
+    cBy_ref[:] = cBy
     crossB_ref[:] = _sample_taps(VA, T, R, Hl, Wl, cBx, cBy)
 
 
@@ -303,15 +313,23 @@ def pack_volume(vol):
 
 def _packed_call_coords(pA, pB, Hl, Wl, cen_A, cen_B, cross_A, cross_B,
                         level_scale, interpret):
+    BQ = pA.shape[0]
+    cAx = _pad_taps(cross_A[..., 0].reshape(BQ, NTAP))
+    cAy = _pad_taps(cross_A[..., 1].reshape(BQ, NTAP))
+    cBx = _pad_taps(cross_B[..., 0].reshape(BQ, NTAP))
+    cBy = _pad_taps(cross_B[..., 1].reshape(BQ, NTAP))
+    return _packed_call_planes(pA, pB, Hl, Wl, cen_A, cen_B,
+                               cAx, cAy, cBx, cBy, level_scale, interpret)
+
+
+def _packed_call_planes(pA, pB, Hl, Wl, cen_A, cen_B, cAx, cAy, cBx, cBy,
+                        level_scale, interpret):
+    """cAx..cBy: (B*Q, LANES) f32 tap-coordinate planes (pre-padded)."""
     BQ, R, _ = pA.shape
     B, Q = cen_A.shape[:2]
     T = _pick_tile(BQ, R, elem_bytes=3 if pA.dtype == jnp.bfloat16 else 6)
     cenA = cen_A.reshape(BQ, 2).astype(jnp.float32)
     cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
-    cAx = _pad_taps(cross_A[..., 0].reshape(BQ, NTAP))
-    cAy = _pad_taps(cross_A[..., 1].reshape(BQ, NTAP))
-    cBx = _pad_taps(cross_B[..., 0].reshape(BQ, NTAP))
-    cBy = _pad_taps(cross_B[..., 1].reshape(BQ, NTAP))
 
     kern = functools.partial(_dccl_kernel, T=T, R=R, Hl=Hl, Wl=Wl,
                              scale=float(level_scale))
@@ -403,7 +421,7 @@ def dccl_level_lookup_grid_fused(vol_A, vol_B, cen_A, cen_B, grid_A, grid_B,
     cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
     outs = _grid_call(volA, volB, cenA, cenB, gcatA, gcatB, BQ, R, T,
                       Hl, Wl, Hg, Wg, float(level_scale), interpret)
-    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs)
+    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs[:4])
 
 
 def _grid_call(volA, volB, cenA, cenB, gcat_A, gcat_B, BQ, R, T,
@@ -426,9 +444,9 @@ def _grid_call(volA, volB, cenA, cenB, gcat_A, gcat_B, BQ, R, T,
         ],
         out_specs=tuple(
             pl.BlockSpec((T, LANES), row, memory_space=pltpu.VMEM)
-            for _ in range(4)),
+            for _ in range(8)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((BQ, LANES), jnp.float32) for _ in range(4)),
+            jax.ShapeDtypeStruct((BQ, LANES), jnp.float32) for _ in range(8)),
         interpret=interpret,
     )(cenA, cenB, gcat_A, gcat_B, volA, volB)
 
@@ -563,20 +581,65 @@ def _packed_bwd(level_scale, interpret, res, cts):
 dccl_packed_lookup.defvjp(_packed_fwd, _packed_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def dccl_packed_lookup_planes(pA, pB, meta_A, meta_B, cen_A, cen_B,
+                              cAx, cAy, cBx, cBy,
+                              level_scale: float = 1.0,
+                              interpret: bool = False):
+    """``dccl_packed_lookup`` with the cross-view tap coords passed as
+    PRE-PADDED per-channel planes (B*Q, 128) — the layout the kernel
+    consumes directly. The channels-last (B, Q, 81, 2) form costs two
+    full-tensor relayout copies per branch per iteration just to slice the
+    channels back out (measured ~18 ms/forward at 512x1024)."""
+    _, Hl, Wl = meta_A.shape
+    return _packed_call_planes(pA, pB, Hl, Wl, cen_A, cen_B,
+                               cAx, cAy, cBx, cBy, level_scale, interpret)
+
+
+def _packed_planes_fwd(pA, pB, meta_A, meta_B, cen_A, cen_B,
+                       cAx, cAy, cBx, cBy, level_scale, interpret):
+    _, Hl, Wl = meta_A.shape
+    out = _packed_call_planes(pA, pB, Hl, Wl, cen_A, cen_B,
+                              cAx, cAy, cBx, cBy, level_scale, interpret)
+    return out, (meta_A, meta_B, cen_A, cen_B, cAx, cAy, cBx, cBy)
+
+
+def _packed_planes_bwd(level_scale, interpret, res, cts):
+    meta_A, meta_B, cen_A, cen_B, cAx, cAy, cBx, cBy = res
+    g_ownA, g_crossA, g_ownB, g_crossB = cts
+    _, Hl, Wl = meta_A.shape
+    B, Q = cen_A.shape[:2]
+    unpad = lambda p: p[:, :NTAP].reshape(B, Q, NTAP)
+    d_pA = _repack(
+        _scatter_grads_window(g_ownA, cen_A, level_scale, Hl, Wl,
+                              meta_A.dtype)
+        + _scatter_grads(g_crossB, unpad(cBx), unpad(cBy),
+                         Hl, Wl, meta_A.dtype))
+    d_pB = _repack(
+        _scatter_grads_window(g_ownB, cen_B, level_scale, Hl, Wl,
+                              meta_B.dtype)
+        + _scatter_grads(g_crossA, unpad(cAx), unpad(cAy),
+                         Hl, Wl, meta_B.dtype))
+    return (d_pA, d_pB, None, None, None, None, None, None, None, None)
+
+
+dccl_packed_lookup_planes.defvjp(_packed_planes_fwd, _packed_planes_bwd)
+
+
 def _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
                         level_scale, interpret):
     _, Hl, Wl = meta_A.shape
     BQ, R, _ = pA.shape
     B, Q = cen_A.shape[:2]
-    T = _pick_tile(BQ, R, budget=2 * 1024 * 1024)
+    T = _pick_tile(BQ, R, budget=2 * 1024 * 1024,
+                   elem_bytes=3 if pA.dtype == jnp.bfloat16 else 6)
     Hg, Wg, _ = grid_A.shape
     gcatA = pack_grid_planes(grid_A)
     gcatB = pack_grid_planes(grid_B)
     cenA = cen_A.reshape(BQ, 2).astype(jnp.float32)
     cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
-    outs = _grid_call(pA, pB, cenA, cenB, gcatA, gcatB, BQ, R, T,
+    return _grid_call(pA, pB, cenA, cenB, gcatA, gcatB, BQ, R, T,
                       Hl, Wl, Hg, Wg, float(level_scale), interpret)
-    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -585,49 +648,43 @@ def dccl_packed_lookup_grid(pA, pB, meta_A, meta_B, cen_A, cen_B,
                             interpret: bool = False):
     """``dccl_packed_lookup`` with the cross-view grid-window sampling
     computed in-kernel (see dccl_level_lookup_grid_fused)."""
-    return _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
+    outs = _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
                                level_scale, interpret)
+    B, Q = cen_A.shape[:2]
+    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs[:4])
 
 
 def _packed_grid_fwd(pA, pB, meta_A, meta_B, cen_A, cen_B, grid_A, grid_B,
                      level_scale, interpret):
-    out = _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
-                              level_scale, interpret)
-    return out, (meta_A, meta_B, cen_A, cen_B, grid_A, grid_B)
+    outs = _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
+                               level_scale, interpret)
+    B, Q = cen_A.shape[:2]
+    corr = tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs[:4])
+    cAx, cAy, cBx, cBy = outs[4:]
+    return corr, (meta_A, meta_B, cen_A, cen_B, cAx, cAy, cBx, cBy)
 
 
 def _packed_grid_bwd(level_scale, interpret, res, cts):
-    from ..corr import sample_image_window_mxu
-
-    meta_A, meta_B, cen_A, cen_B, grid_A, grid_B = res
+    meta_A, meta_B, cen_A, cen_B, cAx, cAy, cBx, cBy = res
     g_ownA, g_crossA, g_ownB, g_crossB = cts
     _, Hl, Wl = meta_A.shape
-    B = cen_A.shape[0]
+    B, Q = cen_A.shape[:2]
+    unpad = lambda p: p[:, :NTAP].reshape(B, Q, NTAP)
 
-    # rebuild the cross-view tap coords exactly as the forward kernel did;
-    # 'highest' so they match the kernel's exact-f32 ones (default TPU
-    # matmul precision rounds operands to bf16)
-    cenAs = cen_A * level_scale
-    cenBs = cen_B * level_scale
-    gA = jnp.broadcast_to(grid_A, (B,) + grid_A.shape)
-    gB = jnp.broadcast_to(grid_B, (B,) + grid_B.shape)
-    with jax.default_matmul_precision("highest"):
-        cross_A = sample_image_window_mxu(gA, cenAs, 4)
-        cross_B = sample_image_window_mxu(gB, cenBs, 4)
-
-    # Separable own-window scatter + dense cross scatter, as one-hot
-    # einsums. A fused Pallas matmul-scatter kernel was built and measured
-    # SLOWER (102.7 vs 13.7 ms/iter at level 0, tools/bench_scatter.py):
-    # the one-hot contraction FLOPs dwarf the HBM traffic they avoid.
+    # Separable own-window scatter + dense cross scatter (at the exact tap
+    # coords the forward kernel emitted), as one-hot einsums. A fused
+    # Pallas matmul-scatter kernel was built and measured SLOWER (102.7 vs
+    # 13.7 ms/iter at level 0, tools/bench_scatter.py): the one-hot
+    # contraction FLOPs dwarf the HBM traffic they avoid.
     d_pA = _repack(
         _scatter_grads_window(g_ownA, cen_A, level_scale, Hl, Wl,
                               meta_A.dtype)
-        + _scatter_grads(g_crossB, cross_B[..., 0], cross_B[..., 1],
+        + _scatter_grads(g_crossB, unpad(cBx), unpad(cBy),
                          Hl, Wl, meta_A.dtype))
     d_pB = _repack(
         _scatter_grads_window(g_ownB, cen_B, level_scale, Hl, Wl,
                               meta_B.dtype)
-        + _scatter_grads(g_crossA, cross_A[..., 0], cross_A[..., 1],
+        + _scatter_grads(g_crossA, unpad(cAx), unpad(cAy),
                          Hl, Wl, meta_B.dtype))
     return (d_pA, d_pB, None, None, None, None, None, None)
 
