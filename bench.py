@@ -19,6 +19,8 @@ count / wall clock / chip peak), not a hand-estimated flop count.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 
@@ -32,8 +34,33 @@ RUNS = 12
 
 V5E_PEAK_BF16_TFLOPS = 197.0
 
+# Timeout-proofing: if the driver's `timeout` SIGTERMs us mid-compile
+# (a cold XLA+Mosaic cache costs tens of minutes), still emit ONE JSON
+# line — the last completed run's record (flagged "stale") or an explicit
+# compiling marker — instead of dying with no parseable output.
+LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_last.json")
+_best: dict = {}
+
+
+def _emit_and_exit(signum, frame):
+    rec = dict(_best)
+    if not rec:
+        try:
+            with open(LAST_GOOD) as f:
+                rec = json.load(f)
+            rec["stale"] = True
+        except Exception:
+            rec = {"metric": f"frame-pairs/sec @ {H}x{W}, {ITERS} GRU "
+                             "iters, bf16, 1 chip, sustained",
+                   "value": None, "unit": "pairs/s", "compiling": True}
+    rec["interrupted"] = True
+    print(json.dumps(rec), flush=True)
+    os._exit(0)
+
 
 def main():
+    signal.signal(signal.SIGTERM, _emit_and_exit)
     import jax
     try:  # persistent compile cache: driver re-runs skip the long compile
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -90,6 +117,14 @@ def main():
     times.sort()
     p50 = times[len(times) // 2]
     p90 = times[int(len(times) * 0.9)]
+    # first measurement milestone: a SIGTERM from here on reports latency
+    _best.update({
+        "metric": f"frame-pairs/sec @ {H}x{W}, {ITERS} GRU iters, bf16, "
+                  "1 chip, latency-bound (sustained run interrupted)",
+        "value": round(1.0 / p50, 3), "unit": "pairs/s",
+        "vs_baseline": round(1.0 / p50 / REF_FPS_RTX3090, 2),
+        "latency_p50_ms": round(p50 * 1e3, 1),
+    })
 
     # sustained throughput: K chained forwards, one fetch
     t0 = time.perf_counter()
@@ -116,6 +151,11 @@ def main():
     if flops:
         rec["tflop_per_pair"] = round(flops / 1e12, 3)
         rec["mfu"] = round(flops * fps / (V5E_PEAK_BF16_TFLOPS * 1e12), 4)
+    try:
+        with open(LAST_GOOD, "w") as f:
+            json.dump(rec, f)
+    except Exception:
+        pass
     print(json.dumps(rec))
 
 

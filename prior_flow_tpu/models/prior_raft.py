@@ -61,20 +61,28 @@ def upsample_flow_convex(flow, mask):
     flow: (B, h, w, 2); mask: (B, h, w, 576) ordered (9, 8, 8) channel-major
     exactly like the torch ``view(N, 1, 9, 8, 8, H, W)``.
     """
-    B, h, w, _ = flow.shape
-    m = mask.reshape(B, h, w, 9, 8, 8)
-    m = jax.nn.softmax(m, axis=3)
+    B, h, w, C = flow.shape
+    # (9, 8, 8) channel-major == reshape to (9, 64) with k on its own axis
+    m = mask.reshape(B * h * w, 9, 64)
+    m = jax.nn.softmax(m, axis=1)
     f = 8.0 * flow
     fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
     # 3x3 neighbourhoods in F.unfold order: k = ky*3 + kx
     neigh = jnp.stack(
         [fp[:, ky:ky + h, kx:kx + w, :] for ky in range(3) for kx in range(3)],
         axis=3,
-    )  # (B, h, w, 9, 2)
-    up = jnp.einsum("bhwkij,bhwkc->bhwijc", m.astype(f.dtype), neigh)
-    # (B, h, w, i, j, c) -> (B, h, i, w, j, c) -> (B, 8h, 8w, c)
-    up = up.transpose(0, 1, 3, 2, 4, 5).reshape(B, 8 * h, 8 * w, 2)
-    return up
+    ).reshape(B * h * w, 9, C)
+    # batched (C, 9) x (9, 64) dot: contracting over the 9 taps with the
+    # subpixel positions on the output axis keeps every operand 3-D and
+    # lane-tileable — the 6-D einsum formulation of this op costs 17.9 ms
+    # fwd+bwd at B=4 vs 2.1 ms for this one (tools/microbench_upsample.py)
+    up = jax.lax.dot_general(
+        neigh.astype(jnp.float32), m.astype(jnp.float32),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (BHW, C, 64)
+    # (B, h, w, c, i, j) -> (B, h, i, w, j, c) -> (B, 8h, 8w, c)
+    up = up.reshape(B, h, w, C, 8, 8).transpose(0, 1, 4, 2, 5, 3)
+    return up.reshape(B, 8 * h, 8 * w, C).astype(f.dtype)
 
 
 class PriOrRAFT(nn.Module):
@@ -294,8 +302,12 @@ class PriOrRAFT(nn.Module):
                 # the full forward replay in the backward pass
                 policy = jax.checkpoint_policies.dots_saveable
             else:
+                # dccl_corr: the lookup results (largest recompute);
+                # dccl_coords: the kernel VJP's residual tap coords —
+                # saving them stops the backward from replaying the whole
+                # Pallas kernel to regenerate residuals
                 policy = jax.checkpoint_policies.save_only_these_names(
-                    "dccl_corr")
+                    "dccl_corr", "dccl_coords")
             step = nn.remat(step, prevent_cse=False, policy=policy)
         scan = nn.scan(
             step,

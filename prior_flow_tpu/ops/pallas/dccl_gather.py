@@ -267,7 +267,7 @@ def _dccl_kernel(cenA_ref, cenB_ref, cAx_ref, cAy_ref, cBx_ref, cBy_ref,
     crossA_ref[:] = _sample_taps(VB, T, R, Hl, Wl, cAx_ref[:], cAy_ref[:])
 
 
-def _pick_tile(BQ: int, R: int, budget: int = 4 * 1024 * 1024,
+def _pick_tile(BQ: int, R: int, budget: int = 8 * 1024 * 1024,
                elem_bytes: int = 6) -> int:
     """Largest dividing tile whose two volume tiles (input + gather
     working set) stay within the VMEM budget per grid step.
@@ -656,11 +656,17 @@ def dccl_packed_lookup_grid(pA, pB, meta_A, meta_B, cen_A, cen_B,
 
 def _packed_grid_fwd(pA, pB, meta_A, meta_B, cen_A, cen_B, grid_A, grid_B,
                      level_scale, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
     outs = _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
                                level_scale, interpret)
     B, Q = cen_A.shape[:2]
     corr = tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs[:4])
-    cAx, cAy, cBx, cBy = outs[4:]
+    # name the residual tap coords so the model's remat policy can SAVE
+    # them: without this, the backward replays the whole Pallas kernel just
+    # to regenerate its residuals (~220 ms/step at 512x1024 batch 4)
+    cAx, cAy, cBx, cBy = (checkpoint_name(o, "dccl_coords")
+                          for o in outs[4:])
     return corr, (meta_A, meta_B, cen_A, cen_B, cAx, cAy, cBx, cBy)
 
 

@@ -222,6 +222,105 @@ class TestModelParity:
                 _np(sd0[k]), np.asarray(sd1[k]),
                 err_msg=f"round-trip mismatch at {k}")
 
+    def test_trained_pth_file_full_protocol(self, ref_modules, tmp_path):
+        """End-to-end released-checkpoint simulation at production shape.
+
+        The released checkpoints themselves cannot enter this environment
+        (zero egress — documented in BASELINE.md), so this reproduces the
+        full pipeline they would go through with a REAL .pth file of the
+        same provenance: the reference model is briefly TRAINED (moving
+        weights and BatchNorm running stats off init), saved through the
+        reference's own save path (``torch.save(DataParallel(m).state_dict())``,
+        train_flow.py:183 — ``module.``-prefixed keys), read back from disk
+        by ``checkpoint.load_pth``, converted, and evaluated at 512x1024
+        with the validate_MPF protocol (evaluate.py:338-365: per-pixel EPE
+        mean + great-circle SEPE). Gate: <1%% delta on both protocol
+        metrics, per BASELINE.json's north star.
+
+        ~10 min on CPU; opt-in via PRIORFLOW_SLOW_TESTS=1.
+        """
+        if os.environ.get("PRIORFLOW_SLOW_TESTS", "") != "1":
+            pytest.skip("set PRIORFLOW_SLOW_TESTS=1 to run")
+        import jax
+        import jax.numpy as jnp
+        from prior_flow_tpu.checkpoint import convert_state_dict
+        from prior_flow_tpu.checkpoint.convert import load_pth
+        from prior_flow_tpu.eval import metrics
+        from prior_flow_tpu.models import PriOrRAFT
+
+        torch = ref_modules.torch
+        torch.manual_seed(7)
+        model = ref_modules.prior_raft.PriOr_RAFT(
+            SimpleNamespace(dropout=0.0, mixed_precision=False))
+        dp = torch.nn.DataParallel(model)  # CPU: forwards to .module
+
+        # -- brief training: 3 AdamW steps of the reference's sequence loss
+        # at 128x256 so BN stats and every weight move off init ------------
+        dp.train()
+        opt = torch.optim.AdamW(dp.parameters(), lr=2e-4, weight_decay=1e-5)
+        rng = np.random.default_rng(11)
+        for _ in range(3):
+            i1 = torch.from_numpy(rng.uniform(
+                0, 255, (1, 3, H, W)).astype(np.float32))
+            i2 = torch.from_numpy(rng.uniform(
+                0, 255, (1, 3, H, W)).astype(np.float32))
+            gt = torch.from_numpy(
+                rng.normal(size=(1, 2, H, W)).astype(np.float32) * 3)
+            preds_A, _ = dp(i1, i2, iters=3)
+            loss = sum(0.8 ** (len(preds_A) - 1 - i) *
+                       (preds_A[i] - gt).abs().mean()
+                       for i in range(len(preds_A)))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+        path = tmp_path / "trained.pth"
+        torch.save(dp.state_dict(), str(path))  # train_flow.py:183 format
+
+        # -- eval both at the production 512x1024 / 12-iter protocol -------
+        He, We = 512, 1024
+        img1 = rng.uniform(0, 255, (1, He, We, 3)).astype(np.float32)
+        img2 = rng.uniform(0, 255, (1, He, We, 3)).astype(np.float32)
+        yy, xx = np.meshgrid(np.linspace(0, 2 * np.pi, He),
+                             np.linspace(0, 2 * np.pi, We), indexing="ij")
+        gt_flow = np.stack([3 * np.sin(xx) + 2 * np.cos(2 * yy),
+                            2 * np.cos(xx + yy)], axis=-1
+                           ).astype(np.float32)[None]
+
+        dp.eval()
+        with torch.no_grad():
+            ref_flow = _np(model(
+                torch.from_numpy(np.transpose(img1, (0, 3, 1, 2))),
+                torch.from_numpy(np.transpose(img2, (0, 3, 1, 2))),
+                iters=12, test_mode=True))
+        ref_flow = np.transpose(ref_flow, (0, 2, 3, 1))
+
+        jmodel = PriOrRAFT(precision="highest")
+        template = jmodel.init(jax.random.PRNGKey(0), jnp.asarray(img1),
+                               jnp.asarray(img2), iters=1)
+        variables = convert_state_dict(load_pth(str(path)),
+                                       template=template)
+        ours = np.asarray(jmodel.apply(variables, jnp.asarray(img1),
+                                       jnp.asarray(img2), iters=12,
+                                       test_mode=True))
+
+        # validate_MPF protocol metrics, identical code for both flows
+        def protocol(flow):
+            e = float(np.asarray(metrics.epe(flow, gt_flow)).mean())
+            s = float(np.asarray(metrics.great_circle_distance(
+                jnp.asarray(flow), jnp.asarray(gt_flow))).mean())
+            return e, s
+
+        epe_ref, sepe_ref = protocol(ref_flow)
+        epe_ours, sepe_ours = protocol(ours)
+        assert abs(epe_ours - epe_ref) / (epe_ref + 1e-9) < 0.01, (
+            f"EPE {epe_ours:.5f} vs ref {epe_ref:.5f}")
+        assert abs(sepe_ours - sepe_ref) / (sepe_ref + 1e-9) < 0.01, (
+            f"SEPE {sepe_ours:.6f} vs ref {sepe_ref:.6f}")
+        # and the flow fields themselves agree to a small fraction of scale
+        scale = np.abs(ref_flow).max() + 1e-6
+        assert np.median(np.abs(ours - ref_flow)) / scale < 0.005
+
     def test_training_mode_predictions_parity(self, ref_modules, torch_model, pair):
         import jax
         import jax.numpy as jnp

@@ -163,6 +163,42 @@ class TestSpatialSharding:
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
 
 
+class TestScaleOnTheFly:
+    def test_onthefly_spatially_sharded_equals_volume_single_device(self):
+        """The scale recipe for resolutions whose materialised cost volume
+        exceeds HBM (>=1024x2048, docs/ARCHITECTURE.md §Scale story):
+        corr_mode='onthefly' (O(HW*C) feature pyramids instead of the
+        O((HW/64)^2) volume) COMBINED with the 2D data x space mesh, so the
+        pyramid memory also divides across devices. Must reproduce the
+        single-device volume-mode forward exactly (the on-the-fly
+        correlation is exact, not an approximation)."""
+        from prior_flow_tpu.parallel.mesh import (make_mesh_2d, replicated,
+                                                  spatial_batch_sharding)
+
+        rng = np.random.default_rng(5)
+        img1 = jnp.asarray(rng.uniform(0, 255, (2, H, W, 3)
+                                       ).astype(np.float32))
+        img2 = jnp.asarray(rng.uniform(0, 255, (2, H, W, 3)
+                                       ).astype(np.float32))
+        vol = PriOrRAFT(precision="highest", corr_mode="volume")
+        variables = vol.init(jax.random.PRNGKey(0), img1[:1], img2[:1],
+                             iters=1)
+        ref = jax.jit(lambda v, a, b: vol.apply(
+            v, a, b, iters=3, test_mode=True))(variables, img1, img2)
+
+        otf = PriOrRAFT(precision="highest", corr_mode="onthefly")
+        mesh = make_mesh_2d(2, 4)
+        rep = replicated(mesh)
+        bsh = spatial_batch_sharding(mesh)
+        f = jax.jit(lambda v, a, b: otf.apply(
+            v, a, b, iters=3, test_mode=True),
+            in_shardings=(rep, bsh, bsh), out_shardings=bsh)
+        out = f(jax.device_put(variables, rep),
+                jax.device_put(img1, bsh), jax.device_put(img2, bsh))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-4)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys, os

@@ -64,6 +64,10 @@ def main():
         (512, 1024, "volume"),
         (512, 1024, "onthefly"),
         (1024, 2048, "onthefly"),
+        # 4x the 1024x2048 pixel count: volume would need ~590 GB; the
+        # pyramids fit in ~1.1 GB. Single-chip evidence that resolution
+        # scaling is bounded by FLOPs, not by the correlation volume.
+        (2048, 4096, "onthefly"),
     ]
     for H, W, mode in configs:
         try:

@@ -1,0 +1,87 @@
+"""Training-step and batched-inference timing on the real chip.
+
+Measures (a) the jitted train step at the canonical batch 4
+(scripts/train_EFT.sh hyperparameters) and (b) batched inference
+throughput, both with the chained-dispatch method bench.py uses.
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+sys.path.insert(0, "/root/repo")
+
+from prior_flow_tpu.models import PriOrRAFT
+from prior_flow_tpu.train.optim import make_optimizer
+from prior_flow_tpu.train.trainer import TrainState, make_train_step
+
+H, W = 512, 1024
+ITERS = 12
+RUNS = 6
+
+
+def chain_time(fn, *args, runs=RUNS, chain_arg=None):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.asarray(leaf).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.asarray(leaf).ravel()[0])
+    return (time.perf_counter() - t0) / runs
+
+
+def main():
+    rng = jax.random.PRNGKey(0)
+
+    # --- batched inference ---
+    for B in (1, 2, 4):
+        model = PriOrRAFT(mixed_precision=True)
+        img1 = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                  (B, H, W, 3)) * 255.0
+        variables = model.init(rng, img1[:1], img2[:1], iters=1)
+        fwd = jax.jit(lambda v, a, b: model.apply(
+            v, a, b, iters=ITERS, test_mode=True).sum())
+        per = chain_time(fwd, variables, img1, img2)
+        print(f"inference B={B}: {per * 1e3:8.1f} ms/call  "
+              f"{B / per:6.2f} pairs/s", flush=True)
+
+    # --- train step, canonical batch 4 ---
+    B = 4
+    model = PriOrRAFT(mixed_precision=True, remat=True)
+    img1 = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
+    img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
+                              (B, H, W, 3)) * 255.0
+    flow = jax.random.normal(jax.random.fold_in(rng, 2), (B, H, W, 2)) * 3.0
+    valid = jnp.ones((B, H, W), jnp.float32)
+    variables = model.init(rng, img1[:1], img2[:1], iters=1)
+    tx, _ = make_optimizer(lr=1e-4, num_steps=100)
+    state = TrainState.create(variables, tx)
+    step_fn = jax.jit(make_train_step(model, tx, iters=ITERS))
+    print("compiling train step...", flush=True)
+    t0 = time.perf_counter()
+    state2, metrics = step_fn(state, (img1, img2, flow, valid), rng)
+    jax.block_until_ready(state2.params)
+    _ = float(metrics["train/loss"])
+    print(f"compiled+first step in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state2, metrics = step_fn(state2, (img1, img2, flow, valid), rng)
+        _ = float(metrics["train/loss"])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    print(f"train step B=4: {times[len(times) // 2] * 1e3:.0f} ms "
+          f"({B / times[len(times) // 2]:.2f} pairs/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
