@@ -299,8 +299,13 @@ class PriOrRAFT(nn.Module):
             if self.remat_policy == "dots":
                 # save every conv/matmul result, recompute elementwise ops:
                 # trades ~2-4 GB of per-iteration activations for skipping
-                # the full forward replay in the backward pass
-                policy = jax.checkpoint_policies.dots_saveable
+                # the full forward replay in the backward pass. The Pallas
+                # lookup outputs/residuals are NOT dots — keep them saved
+                # too or the kernels replay anyway.
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "dccl_corr", "dccl_coords"))
             else:
                 # dccl_corr: the lookup results (largest recompute);
                 # dccl_coords: the kernel VJP's residual tap coords —

@@ -3,7 +3,11 @@
 Measures (a) the jitted train step at the canonical batch 4
 (scripts/train_EFT.sh hyperparameters) and (b) batched inference
 throughput, both with the chained-dispatch method bench.py uses.
+
+Flags: --policy dccl|dots (remat policy for the train step),
+--train-only / --infer-only to skip the other half.
 """
+import argparse
 import sys
 import time
 
@@ -38,10 +42,15 @@ def chain_time(fn, *args, runs=RUNS, chain_arg=None):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--policy", default="dccl", choices=["dccl", "dots"])
+    ap.add_argument("--train-only", action="store_true")
+    ap.add_argument("--infer-only", action="store_true")
+    args = ap.parse_args()
     rng = jax.random.PRNGKey(0)
 
     # --- batched inference ---
-    for B in (1, 2, 4):
+    for B in (() if args.train_only else (1, 2, 4)):
         model = PriOrRAFT(mixed_precision=True)
         img1 = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
         img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
@@ -54,8 +63,11 @@ def main():
               f"{B / per:6.2f} pairs/s", flush=True)
 
     # --- train step, canonical batch 4 ---
+    if args.infer_only:
+        return
     B = 4
-    model = PriOrRAFT(mixed_precision=True, remat=True)
+    model = PriOrRAFT(mixed_precision=True, remat=True,
+                      remat_policy=args.policy)
     img1 = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
     img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
                               (B, H, W, 3)) * 255.0
@@ -79,7 +91,8 @@ def main():
         _ = float(metrics["train/loss"])
         times.append(time.perf_counter() - t0)
     times.sort()
-    print(f"train step B=4: {times[len(times) // 2] * 1e3:.0f} ms "
+    print(f"train step B=4 [{args.policy}]: "
+          f"{times[len(times) // 2] * 1e3:.0f} ms "
           f"({B / times[len(times) // 2]:.2f} pairs/s)", flush=True)
 
 
