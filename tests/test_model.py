@@ -150,3 +150,31 @@ class TestLookupModeResolution:
         out = model.apply(variables, img1, img2, iters=3, test_mode=True)
         np.testing.assert_array_equal(np.asarray(preds_A[-1]),
                                       np.asarray(out))
+
+
+class TestRematPolicies:
+    def test_policies_do_not_change_gradients(self):
+        """remat is a scheduling choice, never a numerics one: gradients
+        under remat_policy='dccl' (save named lookup results),
+        remat_policy='dots' (save all matmul outputs too) and remat=False
+        must agree to float tolerance on the same loss."""
+        rng = jax.random.PRNGKey(0)
+        img1 = jax.random.uniform(rng, (1, 64, 128, 3)) * 255
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                  (1, 64, 128, 3)) * 255
+        ref_model = PriOrRAFT(remat=False)
+        variables = ref_model.init(rng, img1, img2, iters=1)
+
+        def loss_for(model):
+            def loss(v):
+                pa, pb = model.apply(v, img1, img2, iters=2)
+                return (jnp.abs(pa).mean() + jnp.abs(pb).mean())
+            return jax.grad(loss)(variables)
+
+        g_ref = loss_for(ref_model)
+        for policy in ("dccl", "dots"):
+            g = loss_for(PriOrRAFT(remat=True, remat_policy=policy))
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
+                g_ref, g)
