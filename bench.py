@@ -44,6 +44,10 @@ _best: dict = {}
 
 
 def _emit_and_exit(signum, frame):
+    if _best.get("done"):
+        # the sustained record already printed — a late SIGTERM must not
+        # emit a second (mislabelled) JSON line
+        os._exit(0)
     rec = dict(_best)
     if not rec:
         try:
@@ -151,6 +155,7 @@ def main():
     if flops:
         rec["tflop_per_pair"] = round(flops / 1e12, 3)
         rec["mfu"] = round(flops * fps / (V5E_PEAK_BF16_TFLOPS * 1e12), 4)
+    _best["done"] = True
     try:
         with open(LAST_GOOD, "w") as f:
             json.dump(rec, f)

@@ -98,7 +98,16 @@ def main(argv=None):
     if args.mesh == "auto":
         mesh = make_mesh() if len(jax.devices()) > 1 else None
     else:
-        dp, sp = (int(t) for t in args.mesh.lower().split("x"))
+        parts = args.mesh.lower().split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            raise SystemExit(
+                f"--mesh expects 'auto' or 'DPxSP' (e.g. 2x4); got "
+                f"{args.mesh!r}")
+        dp, sp = int(parts[0]), int(parts[1])
+        if dp * sp != len(jax.devices()):
+            raise SystemExit(
+                f"--mesh {args.mesh}: {dp}x{sp}={dp * sp} chips requested "
+                f"but {len(jax.devices())} visible")
         mesh = make_mesh_2d(dp, sp)
 
     logger = MetricLogger.default(

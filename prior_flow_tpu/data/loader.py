@@ -51,6 +51,7 @@ class DataLoader:
         self.shard_index = shard_index
         self.num_shards = max(1, num_shards)
         self.seed = seed
+        self._epochs_started = 0
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
@@ -129,7 +130,14 @@ class DataLoader:
             stop.set()
 
     def __iter__(self) -> Iterator:
-        return self._stream(epochs=1)
+        """One epoch per call. Successive calls advance the epoch number
+        (fresh shuffle + fresh per-sample augmentation draws, like a torch
+        DataLoader), while staying fully deterministic: the k-th ``iter()``
+        of a loader always replays epoch k of the (seed-keyed) global batch
+        sequence. One active stream per loader instance at a time."""
+        epoch = self._epochs_started
+        self._epochs_started += 1
+        return self._stream(epochs=1, start_batch=epoch * len(self))
 
     def infinite(self, start_batch: int = 0) -> Iterator:
         """Epoch-less stream (reference train loop semantics,

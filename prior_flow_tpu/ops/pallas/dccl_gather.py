@@ -223,13 +223,16 @@ def _grid_window(Gcat, cen, T, Hg, Wg, scale):
 
 def _dccl_grid_kernel(cenA_ref, cenB_ref, gA_ref, gB_ref, volA_ref, volB_ref,
                       ownA_ref, crossA_ref, ownB_ref, crossB_ref,
-                      cAx_ref, cAy_ref, cBx_ref, cBy_ref,
-                      *, T, R, Hl, Wl, Hg, Wg, scale):
+                      *coord_refs, T, R, Hl, Wl, Hg, Wg, scale):
     """Fully fused level kernel: grid-window coords computed in-kernel.
 
-    The extracted cross-view tap coords are also written out — they are
-    the VJP's scatter targets (saving them beats recomputing: the in-kernel
-    f32 strips are exact while the XLA einsum recompute rounds to bf16)."""
+    With ``coord_refs`` (cAx, cAy, cBx, cBy) present, the extracted
+    cross-view tap coords are also written out — they are the VJP's scatter
+    targets (saving them beats recomputing: the in-kernel f32 strips are
+    exact while the XLA einsum recompute rounds to bf16). The no-grad
+    primal omits them: XLA cannot DCE individual outputs of a custom call,
+    so the 4 dead planes would cost ~0.8 GB of HBM writes per 512x1024
+    inference forward."""
     VA = volA_ref[:].reshape(T * R, LANES)
     VB = volB_ref[:].reshape(T * R, LANES)
 
@@ -239,13 +242,15 @@ def _dccl_grid_kernel(cenA_ref, cenB_ref, gA_ref, gB_ref, volA_ref, volB_ref,
     ownB_ref[:] = _sample_taps(VB, T, R, Hl, Wl, bx, by)
 
     cAx, cAy = _grid_window(gA_ref[:], cenA_ref[:], T, Hg, Wg, scale)
-    cAx_ref[:] = cAx
-    cAy_ref[:] = cAy
     crossA_ref[:] = _sample_taps(VB, T, R, Hl, Wl, cAx, cAy)
     cBx, cBy = _grid_window(gB_ref[:], cenB_ref[:], T, Hg, Wg, scale)
-    cBx_ref[:] = cBx
-    cBy_ref[:] = cBy
     crossB_ref[:] = _sample_taps(VA, T, R, Hl, Wl, cBx, cBy)
+    if coord_refs:
+        cAx_ref, cAy_ref, cBx_ref, cBy_ref = coord_refs
+        cAx_ref[:] = cAx
+        cAy_ref[:] = cAy
+        cBx_ref[:] = cBx
+        cBy_ref[:] = cBy
 
 
 def _dccl_kernel(cenA_ref, cenB_ref, cAx_ref, cAy_ref, cBx_ref, cBy_ref,
@@ -420,17 +425,19 @@ def dccl_level_lookup_grid_fused(vol_A, vol_B, cen_A, cen_B, grid_A, grid_B,
     cenA = cen_A.reshape(BQ, 2).astype(jnp.float32)
     cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
     outs = _grid_call(volA, volB, cenA, cenB, gcatA, gcatB, BQ, R, T,
-                      Hl, Wl, Hg, Wg, float(level_scale), interpret)
-    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs[:4])
+                      Hl, Wl, Hg, Wg, float(level_scale), interpret,
+                      emit_coords=False)
+    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs)
 
 
 def _grid_call(volA, volB, cenA, cenB, gcat_A, gcat_B, BQ, R, T,
-               Hl, Wl, Hg, Wg, scale, interpret):
+               Hl, Wl, Hg, Wg, scale, interpret, emit_coords=True):
     kern = functools.partial(_dccl_grid_kernel, T=T, R=R, Hl=Hl, Wl=Wl,
                              Hg=Hg, Wg=Wg, scale=scale)
     row = lambda q: (q, 0)
     vol3 = lambda q: (q, 0, 0)
     const2 = lambda q: (0, 0)
+    n_out = 8 if emit_coords else 4
     return pl.pallas_call(
         kern,
         grid=(BQ // T,),
@@ -444,9 +451,10 @@ def _grid_call(volA, volB, cenA, cenB, gcat_A, gcat_B, BQ, R, T,
         ],
         out_specs=tuple(
             pl.BlockSpec((T, LANES), row, memory_space=pltpu.VMEM)
-            for _ in range(8)),
+            for _ in range(n_out)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((BQ, LANES), jnp.float32) for _ in range(8)),
+            jax.ShapeDtypeStruct((BQ, LANES), jnp.float32)
+            for _ in range(n_out)),
         interpret=interpret,
     )(cenA, cenB, gcat_A, gcat_B, volA, volB)
 
@@ -627,7 +635,7 @@ dccl_packed_lookup_planes.defvjp(_packed_planes_fwd, _packed_planes_bwd)
 
 
 def _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
-                        level_scale, interpret):
+                        level_scale, interpret, emit_coords=True):
     _, Hl, Wl = meta_A.shape
     BQ, R, _ = pA.shape
     B, Q = cen_A.shape[:2]
@@ -639,7 +647,8 @@ def _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
     cenA = cen_A.reshape(BQ, 2).astype(jnp.float32)
     cenB = cen_B.reshape(BQ, 2).astype(jnp.float32)
     return _grid_call(pA, pB, cenA, cenB, gcatA, gcatB, BQ, R, T,
-                      Hl, Wl, Hg, Wg, float(level_scale), interpret)
+                      Hl, Wl, Hg, Wg, float(level_scale), interpret,
+                      emit_coords=emit_coords)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
@@ -649,9 +658,9 @@ def dccl_packed_lookup_grid(pA, pB, meta_A, meta_B, cen_A, cen_B,
     """``dccl_packed_lookup`` with the cross-view grid-window sampling
     computed in-kernel (see dccl_level_lookup_grid_fused)."""
     outs = _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
-                               level_scale, interpret)
+                               level_scale, interpret, emit_coords=False)
     B, Q = cen_A.shape[:2]
-    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs[:4])
+    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs)
 
 
 def _packed_grid_fwd(pA, pB, meta_A, meta_B, cen_A, cen_B, grid_A, grid_B,

@@ -234,3 +234,31 @@ class TestDeterministicAugmentation:
         for x, y in zip(full[3:], resumed):
             for xa, ya in zip(x, y):
                 np.testing.assert_array_equal(xa, ya)
+
+    def test_iter_advances_epochs_deterministically(self, tmp_path):
+        """Each __iter__ call is the NEXT epoch (fresh shuffle + fresh
+        augmentation draws, the torch-DataLoader contract), and the k-th
+        iter of a same-seeded fresh loader replays epoch k exactly."""
+        root = _make_mpf_tree(str(tmp_path), n=7)
+        la = self._loader(root, 2)
+        e0 = [b for b in la]
+        e1 = [b for b in la]
+        assert any(
+            not np.array_equal(xa, ya)
+            for x, y in zip(e0, e1) for xa, ya in zip(x, y))
+
+        lb = self._loader(root, 2)
+        f0 = [b for b in lb]
+        f1 = [b for b in lb]
+        for ep_a, ep_b in ((e0, f0), (e1, f1)):
+            assert len(ep_a) == len(ep_b)
+            for x, y in zip(ep_a, ep_b):
+                for xa, ya in zip(x, y):
+                    np.testing.assert_array_equal(xa, ya)
+
+        # __iter__ epochs and the infinite() stream are the SAME sequence
+        inf = [b for _, b in zip(range(len(e0) + len(e1)),
+                                 self._loader(root, 2).infinite())]
+        for x, y in zip(e0 + e1, inf):
+            for xa, ya in zip(x, y):
+                np.testing.assert_array_equal(xa, ya)

@@ -28,7 +28,12 @@ ITERS = 12
 RUNS = 6
 
 
-def chain_time(fn, *args, runs=RUNS, chain_arg=None):
+def chain_time(fn, *args, runs=RUNS):
+    """Back-to-back dispatch timing: relies on the device's in-order
+    execution queue (dispatches overlap the host; one final scalar fetch
+    proves all ``runs`` completed). Unlike bench.py there is no data
+    dependency threaded between calls — in-order queues make it
+    unnecessary for a single-stream measurement."""
     out = fn(*args)
     jax.block_until_ready(out)
     leaf = jax.tree_util.tree_leaves(out)[0]
