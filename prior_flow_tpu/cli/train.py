@@ -41,6 +41,13 @@ def build_parser():
 
     parser.add_argument("--mixed_precision", action="store_true")
     parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--remat_policy", default="dccl",
+                        choices=["dccl", "dots"],
+                        help="scan rematerialisation policy: 'dccl' saves "
+                             "only the named DCCL lookup results/residuals "
+                             "(lowest memory); 'dots' additionally saves "
+                             "every matmul/conv output (more memory, less "
+                             "backward recompute)")
 
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--wdecay", type=float, default=5e-5)
@@ -94,7 +101,8 @@ def main(argv=None):
     )
 
     model = PriOrRAFT(dropout=cfg.dropout,
-                      mixed_precision=cfg.mixed_precision)
+                      mixed_precision=cfg.mixed_precision,
+                      remat_policy=args.remat_policy)
     if args.mesh == "auto":
         mesh = make_mesh() if len(jax.devices()) > 1 else None
     else:
