@@ -175,6 +175,52 @@ class TestMXULookupParity:
                 np.testing.assert_allclose(np.asarray(fcB), np.asarray(cB),
                                            atol=5e-5)
 
+    def test_pallas_grid_kernel_vjp_matches_autodiff(self, rng):
+        """Volume gradients through DCCLFused with the in-kernel grid-window
+        sampling (the production training path: grid_in_kernel default) must
+        match autodiff through the mxu DCCL, chaining through the pyramid
+        pooling. Pins _packed_grid_bwd and its kernel-emitted residual
+        coords."""
+        import jax
+        from prior_flow_tpu.geometry import grids
+        B, h, w = 1, 8, 16
+        Q = h * w
+        volA = jnp.asarray(rng.normal(size=(B, Q, h, w)).astype(np.float32))
+        volB = jnp.asarray(rng.normal(size=(B, Q, h, w)).astype(np.float32))
+        g = grids.rotation_grids(h * 8, w * 8)
+        base = grids.identity_grid(h, w)[None]
+        coordsA = jnp.asarray(base + rng.normal(size=(B, h, w, 2)) * 5
+                              ).astype(jnp.float32)
+        coordsB = jnp.asarray(base + rng.normal(size=(B, h, w, 2)) * 5
+                              ).astype(jnp.float32)
+        a2bw, b2aw = jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_w2c_8)
+        a2b8, b2a8 = jnp.asarray(g.a2b_8), jnp.asarray(g.b2a_8)
+        weights = (1.0, 2.0, 3.0, 4.0)
+
+        def loss_fused(vA, vB):
+            pyrA = C.build_pyramid(vA, 4)
+            pyrB = C.build_pyramid(vB, 4)
+            outs = C.DCCLFused(grid_in_kernel=True)(
+                coordsA, coordsB, pyrA, pyrB, a2bw, b2aw, a2b8, b2a8)
+            return sum((o * wt).sum() for o, wt in zip(outs, weights))
+
+        def loss_ref(vA, vB):
+            pyrA = C.build_pyramid(vA, 4)
+            pyrB = C.build_pyramid(vB, 4)
+            oA, cA = C.DCCL(lookup_mode="mxu")(coordsA, pyrA, pyrB,
+                                               a2bw, b2a8)
+            oB, cB = C.DCCL(lookup_mode="mxu")(coordsB, pyrB, pyrA,
+                                               b2aw, a2b8)
+            return sum((o * wt).sum()
+                       for o, wt in zip((oA, cA, oB, cB), weights))
+
+        import jax as _jax
+        with _jax.default_matmul_precision("highest"):
+            gA, gB = jax.grad(loss_fused, argnums=(0, 1))(volA, volB)
+            rA, rB = jax.grad(loss_ref, argnums=(0, 1))(volA, volB)
+        np.testing.assert_allclose(np.asarray(gA), np.asarray(rA), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gB), np.asarray(rB), atol=2e-4)
+
     def test_pallas_fused_vjp_matches_autodiff(self, rng):
         """The custom VJP of the fused kernel (volume grads) must match
         autodiff through the differentiable mxu formulation."""
