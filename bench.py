@@ -165,4 +165,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the contract is ONE JSON line
+        if not _best.get("done"):
+            # device/tunnel failures must still yield a parseable record
+            # (value null + the error), not a bare traceback
+            rec = {"metric": f"frame-pairs/sec @ {H}x{W}, {ITERS} GRU "
+                             "iters, bf16, 1 chip, sustained",
+                   "value": None, "unit": "pairs/s",
+                   "error": f"{type(e).__name__}: {e}"}
+            try:
+                with open(LAST_GOOD) as f:
+                    rec.update({k: v for k, v in json.load(f).items()
+                                if k not in rec})
+                    rec["stale"] = True
+            except Exception:
+                pass
+            print(json.dumps(rec), flush=True)
+        raise SystemExit(1)
