@@ -1,0 +1,47 @@
+"""Shared on-chip timing helper for the microbenchmark tools.
+
+One definition of the scan-chained timing method (and of the tunnel
+dispatch constant) so a recalibration cannot leave the tools silently
+disagreeing.
+
+Method: the measured body runs N times inside one jitted ``lax.scan``
+whose carry perturbs the next iteration's input by a numerically
+irrelevant amount — the compiler cannot hoist or dedupe the body, and one
+device round-trip covers all N iterations. The axon tunnel's ~8 ms
+per-dispatch overhead is subtracted from the per-call figure.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+N = 24             # in-jit repetitions per dispatch
+REPS = 3           # dispatches averaged
+DISPATCH_MS = 8.0  # measured axon-tunnel round-trip to subtract
+
+
+def timeit(name, body, *args, n=N, reps=REPS, dispatch_ms=DISPATCH_MS):
+    """Print and return the per-iteration device time of ``body`` in ms.
+
+    ``body(carry, *args)`` must return an array; its first element is
+    folded (x1e-20) into the next iteration's carry.
+    """
+    def run(*a):
+        def scan_fn(c, _):
+            out = body(c, *a)
+            return out.ravel()[0].astype(jnp.float32) * 1e-20, None
+
+        c, _ = jax.lax.scan(scan_fn, 0.0, None, length=n)
+        return c
+
+    jfn = jax.jit(run)
+    float(jfn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jfn(*args)
+    float(out)
+    total = (time.perf_counter() - t0) / reps
+    per = (total * 1000 - dispatch_ms) / n
+    print(f"{name:44s} {per:8.3f} ms/iter", flush=True)
+    return per

@@ -23,29 +23,7 @@ from prior_flow_tpu.ops.pallas.dccl_gather import (dccl_packed_lookup,
 H, Wd = 512, 1024
 h8, w8 = H // 8, Wd // 8
 Q = h8 * w8
-N = 24
-
-
-def timeit(name, body, *args):
-    def run(*a):
-        def scan_fn(c, _):
-            out = body(c, *a)
-            return out.ravel()[0].astype(jnp.float32) * 1e-20, None
-
-        c, _ = jax.lax.scan(scan_fn, 0.0, None, length=N)
-        return c
-
-    jfn = jax.jit(run)
-    float(jfn(*args))
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jfn(*args)
-    float(out)
-    total = (time.perf_counter() - t0) / reps
-    per = (total * 1000 - 8.0) / N
-    print(f"{name:52s} {per:8.3f} ms/iter", flush=True)
-    return per
+from tools._timing import N, timeit  # noqa: E402
 
 
 def main():

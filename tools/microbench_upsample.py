@@ -17,29 +17,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 B, h, w = 4, 64, 128
-N = 24
-
-
-def timeit(name, body, *args):
-    def run(*a):
-        def scan_fn(c, _):
-            out = body(c, *a)
-            return out.ravel()[0].astype(jnp.float32) * 1e-20, None
-
-        c, _ = jax.lax.scan(scan_fn, 0.0, None, length=N)
-        return c
-
-    jfn = jax.jit(run)
-    float(jfn(*args))
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jfn(*args)
-    float(out)
-    total = (time.perf_counter() - t0) / reps
-    per = (total * 1000 - 8.0) / N
-    print(f"{name:44s} {per:8.3f} ms/iter", flush=True)
-    return per
+from tools._timing import N, timeit  # noqa: E402
 
 
 def neigh_of(f, dtype):
