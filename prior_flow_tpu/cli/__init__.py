@@ -4,4 +4,5 @@
     python -m prior_flow_tpu.cli.demo_image  # pretrained inference + viz
     python -m prior_flow_tpu.cli.evaluate    # EPE/SEPE validation
     python -m prior_flow_tpu.cli.train       # training
+    python -m prior_flow_tpu.cli.export      # StableHLO serving artifact
 """
