@@ -31,6 +31,7 @@ H, W = 512, 1024
 ITERS = 12
 WARMUP = 2
 RUNS = 12
+BATCH_THROUGHPUT = 4  # secondary serving-throughput measurement
 
 V5E_PEAK_BF16_TFLOPS = 197.0
 
@@ -64,6 +65,8 @@ def _emit_and_exit(signum, frame):
 
 
 def main():
+    global T_START
+    T_START = time.perf_counter()
     signal.signal(signal.SIGTERM, _emit_and_exit)
     import jax
     try:  # persistent compile cache: driver re-runs skip the long compile
@@ -155,12 +158,39 @@ def main():
     if flops:
         rec["tflop_per_pair"] = round(flops / 1e12, 3)
         rec["mfu"] = round(flops * fps / (V5E_PEAK_BF16_TFLOPS * 1e12), 4)
+
+    # Secondary: batched serving throughput (pairs/s at batch 4). Batching
+    # amortises per-op dispatch and feeds the MXU larger contractions; the
+    # headline stays batch 1 (the reference protocol is single-pair,
+    # demo.py:15-19 / evaluate.py batch 1). Only attempted when the primary
+    # compile was cache-warm — a cold-cache driver run must never spend its
+    # timeout budget on a second graph (round-2 lesson, BENCH_r02 rc=124).
+    if time.perf_counter() - T_START < 300:
+        try:
+            imgs1 = jax.numpy.tile(img1, (BATCH_THROUGHPUT, 1, 1, 1))
+            imgs2 = jax.numpy.tile(img2, (BATCH_THROUGHPUT, 1, 1, 1))
+            cb = fwd.lower(variables, imgs1, imgs2, zero).compile()
+            for _ in range(WARMUP):
+                float(cb(variables, imgs1, imgs2, zero))
+            t0 = time.perf_counter()
+            outb = 0.0
+            for _ in range(RUNS):
+                outb = cb(variables, imgs1, imgs2, outb)
+            _ = float(outb)
+            perb = (time.perf_counter() - t0) / RUNS / BATCH_THROUGHPUT
+            rec[f"batch{BATCH_THROUGHPUT}_pairs_per_s"] = round(1.0 / perb, 3)
+            rec[f"batch{BATCH_THROUGHPUT}_ms_per_pair"] = round(perb * 1e3, 1)
+        except Exception:
+            pass  # OOM or tunnel hiccup: the primary record stands alone
     _best["done"] = True
-    try:
-        with open(LAST_GOOD, "w") as f:
-            json.dump(rec, f)
-    except Exception:
-        pass
+    if (H, W, ITERS) == (512, 1024, 12):
+        # only a production-config record may serve as the stale fallback
+        # for the driver's run (tiny-shape smoke tests must not clobber it)
+        try:
+            with open(LAST_GOOD, "w") as f:
+                json.dump(rec, f)
+        except Exception:
+            pass
     print(json.dumps(rec))
 
 
