@@ -32,6 +32,7 @@ precise (the einsum path rounds operands to bf16 at default precision).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -41,6 +42,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 NTAP = 81  # (2*radius+1)**2 with radius 4
+
+# Tile-size tuning knobs (read at trace time; tools/tune_dccl_tile.py sweeps
+# them on hardware). The kernel grid runs BQ/T steps — a larger query tile T
+# amortises the per-step fixed cost (DMA issue, loop/semaphore overhead,
+# MXU setup for the grid matmul) over more queries at the price of VMEM.
+# The profiled per-level costs are nearly FLAT across pyramid levels despite
+# 4x-shrinking volumes (19.4/15.2/13.1/8.3 ms per forward at 512x1024),
+# which points at per-step overhead, not gather work, as the binding cost.
+TILE_CAP = int(os.environ.get("PRIORFLOW_DCCL_TILE_CAP", "32"))
+GRID_VMEM_BUDGET = int(os.environ.get("PRIORFLOW_DCCL_GRID_BUDGET",
+                                      str(2 * 1024 * 1024)))
+PLAIN_VMEM_BUDGET = int(os.environ.get("PRIORFLOW_DCCL_PLAIN_BUDGET",
+                                       str(8 * 1024 * 1024)))
+_TILE_SIZES = (512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
 
 
 def _row_select(g, rsel, R):
@@ -272,16 +287,20 @@ def _dccl_kernel(cenA_ref, cenB_ref, cAx_ref, cAy_ref, cBx_ref, cBy_ref,
     crossA_ref[:] = _sample_taps(VB, T, R, Hl, Wl, cAx_ref[:], cAy_ref[:])
 
 
-def _pick_tile(BQ: int, R: int, budget: int = 8 * 1024 * 1024,
+def _pick_tile(BQ: int, R: int, budget: int = None,
                elem_bytes: int = 6) -> int:
-    """Largest dividing tile whose two volume tiles (input + gather
-    working set) stay within the VMEM budget per grid step.
+    """Largest dividing tile (<= TILE_CAP) whose two volume tiles (input +
+    gather working set) stay within the VMEM budget per grid step.
 
     ``elem_bytes``: VMEM bytes per volume element — 3 for bf16 volumes
     (2 in + ~1 amortised gather temporaries; no f32 copy is made since the
     row-select network runs in the storage dtype), 6 for f32.
     """
-    for t in (32, 16, 8, 4, 2, 1):
+    if budget is None:
+        budget = PLAIN_VMEM_BUDGET
+    for t in _TILE_SIZES:
+        if t > TILE_CAP:
+            continue
         if BQ % t == 0 and 2 * t * R * LANES * elem_bytes <= budget:
             return t
     return 1
@@ -416,9 +435,9 @@ def dccl_level_lookup_grid_fused(vol_A, vol_B, cen_A, cen_B, grid_A, grid_B,
     B, Q, Hl, Wl = vol_A.shape
     BQ = B * Q
     volA, volB, R = _pack_volumes(vol_A, vol_B)
-    # the in-kernel grid stage adds per-tile strip/gather buffers: halve the
-    # volume-tile budget so double buffering still fits VMEM
-    T = _pick_tile(BQ, R, budget=2 * 1024 * 1024)
+    # the in-kernel grid stage adds per-tile strip/gather buffers: a smaller
+    # volume-tile budget keeps double buffering within VMEM
+    T = _pick_tile(BQ, R, budget=GRID_VMEM_BUDGET)
     Hg, Wg, _ = grid_A.shape
     gcatA = pack_grid_planes(grid_A)
     gcatB = pack_grid_planes(grid_B)
@@ -639,7 +658,7 @@ def _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
     _, Hl, Wl = meta_A.shape
     BQ, R, _ = pA.shape
     B, Q = cen_A.shape[:2]
-    T = _pick_tile(BQ, R, budget=2 * 1024 * 1024,
+    T = _pick_tile(BQ, R, budget=GRID_VMEM_BUDGET,
                    elem_bytes=3 if pA.dtype == jnp.bfloat16 else 6)
     Hg, Wg, _ = grid_A.shape
     gcatA = pack_grid_planes(grid_A)

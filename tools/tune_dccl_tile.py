@@ -1,0 +1,136 @@
+"""Sweep the DCCL kernel's query-tile size on the real chip.
+
+The kernel runs BQ/T grid steps per level; the round-3 profile shows
+per-level costs nearly flat across pyramid levels (19.4/15.2/13.1/8.3 ms
+per 512x1024 forward) despite 4x-shrinking volumes — per-step fixed
+overhead, not gather work, binds. A larger T amortises it; VMEM caps it.
+
+Sweeps TILE_CAP x GRID_VMEM_BUDGET over (a) a per-level kernel microbench
+(12 chained calls, production level shapes) and (b) the full test-mode
+forward, and prints one JSON line per config. Run on hardware:
+
+    python tools/tune_dccl_tile.py [--full]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys, os, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+H, W = 512, 1024
+ITERS = 12
+
+
+def level_shapes():
+    """(Hl, Wl) per pyramid level at 512x1024 (1/8-res 64x128 queries)."""
+    h, w = H // 8, W // 8
+    out = []
+    for lvl in range(4):
+        out.append((h // (2 ** lvl), w // (2 ** lvl)))
+    return out
+
+
+def bench_levels(runs=12):
+    import jax
+    import jax.numpy as jnp
+
+    from prior_flow_tpu.geometry.grids import rotation_grids
+    from prior_flow_tpu.ops.pallas import dccl_gather as dg
+
+    h8, w8 = H // 8, W // 8
+    Q = h8 * w8
+    rg = rotation_grids(H, W)
+    gA = jnp.asarray(rg.a2b_w2c_8, jnp.float32)
+    gB = jnp.asarray(rg.b2a_w2c_8, jnp.float32)
+
+    rng = jax.random.PRNGKey(0)
+    cen = jax.random.uniform(rng, (1, Q, 2)) * jnp.asarray([w8, h8])
+    res = {}
+    for lvl, (Hl, Wl) in enumerate(level_shapes()):
+        vol = jax.random.normal(jax.random.fold_in(rng, lvl),
+                                (1, Q, Hl, Wl), jnp.bfloat16)
+        pA, mA = dg.pack_volume(vol)
+        pB, mB = dg.pack_volume(vol)
+        scale = 1.0 / (2 ** lvl)
+
+        def chained(pA, pB, cen, s):
+            c = cen + s * 1e-30
+            outs = dg.dccl_packed_lookup_grid(pA, pB, mA, mB, c, c, gA, gB,
+                                              scale)
+            return outs[0].sum()
+
+        f = jax.jit(chained)
+        float(f(pA, pB, cen, 0.0))  # compile+warm
+        t0 = time.perf_counter()
+        out = 0.0
+        for _ in range(runs):
+            out = f(pA, pB, cen, out)
+        _ = float(out)
+        res[f"level{lvl}_ms"] = round(
+            (time.perf_counter() - t0) / runs * 1e3, 3)
+    res["sum_ms"] = round(sum(res.values()), 3)
+    return res
+
+
+def bench_forward(runs=6):
+    import jax
+
+    from prior_flow_tpu.models import PriOrRAFT
+
+    model = PriOrRAFT(mixed_precision=True)
+    rng = jax.random.PRNGKey(0)
+    img1 = jax.random.uniform(rng, (1, H, W, 3)) * 255.0
+    img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
+                              (1, H, W, 3)) * 255.0
+    variables = model.init(rng, img1, img2, iters=1)
+    f = jax.jit(lambda v, a, b, s: model.apply(
+        v, a + s * 1e-30, b, iters=ITERS, test_mode=True).sum())
+    float(f(variables, img1, img2, 0.0))
+    t0 = time.perf_counter()
+    out = 0.0
+    for _ in range(runs):
+        out = f(variables, img1, img2, out)
+    _ = float(out)
+    per = (time.perf_counter() - t0) / runs
+    return {"forward_ms": round(per * 1e3, 1),
+            "pairs_per_s": round(1.0 / per, 3)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="also bench the full forward per config (slow: "
+                         "one fresh model compile each)")
+    ap.add_argument("--caps", type=int, nargs="*",
+                    default=[32, 64, 128, 256])
+    ap.add_argument("--budgets_mb", type=int, nargs="*", default=[2, 8, 32])
+    args = ap.parse_args()
+
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from prior_flow_tpu.ops.pallas import dccl_gather as dg
+
+    for budget_mb in args.budgets_mb:
+        for cap in args.caps:
+            dg.TILE_CAP = cap
+            dg.GRID_VMEM_BUDGET = budget_mb * 1024 * 1024
+            rec = {"tile_cap": cap, "grid_budget_mb": budget_mb}
+            try:
+                rec.update(bench_levels())
+                if args.full:
+                    rec.update(bench_forward())
+            except Exception as e:  # Mosaic VMEM overflow etc.
+                rec["error"] = f"{type(e).__name__}: {e}"[:300]
+            print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
