@@ -33,7 +33,9 @@ def img_rotate(image, sample_grid):
     """
     if sample_grid.ndim == 3:
         sample_grid = _bcast(sample_grid, image.shape[0])
-    return cycle_bilinear_sample(image, sample_grid)
+    # packed single-gather corners: bit-exact, profiled 9.5 -> ~? ms on the
+    # full-res forward rotation (the dominant non-kernel sampler cost)
+    return cycle_bilinear_sample(image, sample_grid, packed=True)
 
 
 def img_a2b(image):

@@ -175,3 +175,35 @@ class TestMaskedVariants:
         ones = torch_grid_sample(np.ones_like(img), coords, wrap_x=True)
         mask = np.where(ones < 0.9999, 0.0, 1.0)
         np.testing.assert_allclose(ours, raw * mask, atol=2e-5)
+
+
+class TestPackedCorners:
+    """The packed single-gather corner path must be BIT-EXACT with the
+    4-gather core for every boundary case (it is the production path of the
+    full-res image rotation, ops/warp.py img_rotate)."""
+
+    def test_bitexact_inbounds_and_out_of_range(self, rng, img):
+        coords = np.stack([rng.uniform(-12, 44, (2, 400)),
+                           rng.uniform(-12, 28, (2, 400))], -1)
+        a = np.asarray(samplers.bilinear_sample(
+            jnp.asarray(img), jnp.asarray(coords)))
+        b = np.asarray(samplers.bilinear_sample(
+            jnp.asarray(img), jnp.asarray(coords), packed=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_bitexact_cycle_wrap_and_seam(self, rng, img):
+        H, W = img.shape[1], img.shape[2]
+        # exercise the seam band (W-1, W) where x+1 blends with zero pad,
+        # exact column hits, and the pole rows
+        xs = np.concatenate([rng.uniform(-2 * W, 2 * W, (2, 200)),
+                             np.full((2, 8), W - 1 + 0.25),
+                             np.tile(np.arange(8.0), (2, 1))], axis=1)
+        ys = np.concatenate([rng.uniform(-3, H + 3, (2, 200)),
+                             rng.uniform(0, H - 1, (2, 8)),
+                             np.full((2, 8), H - 1.0)], axis=1)
+        coords = np.stack([xs, ys], -1)
+        a = np.asarray(samplers.cycle_bilinear_sample(
+            jnp.asarray(img), jnp.asarray(coords)))
+        b = np.asarray(samplers.cycle_bilinear_sample(
+            jnp.asarray(img), jnp.asarray(coords), packed=True))
+        np.testing.assert_array_equal(a, b)
