@@ -147,7 +147,7 @@ def cycle_bilinear_sample(img, coords, mask=False, packed=False):
     return bilinear_sample(img, wrapped, mask=mask, packed=packed)
 
 
-def cycle_grid_sample(img, grid, is_grid=False):
+def cycle_grid_sample(img, grid, is_grid=False, packed=False):
     """Gather-based bilinear sample with true longitude wrap.
 
     - x is wrapped into [0, W); the x+1 corner wraps mod W (true seam wrap);
@@ -176,10 +176,27 @@ def cycle_grid_sample(img, grid, is_grid=False):
     y0 = jnp.clip(y0f, 0, H - 1).astype(jnp.int32)
     y1 = jnp.clip(y0f + 1, 0, H - 1).astype(jnp.int32)
 
-    Ia = _gather_2d(img, x0, y0)
-    Ib = _gather_2d(img, x0, y1)
-    Ic = _gather_2d(img, x1, y0)
-    Id = _gather_2d(img, x1, y1)
+    if packed:
+        # one gather of a 4C-channel pre-shifted concat instead of four
+        # C-channel gathers (see _bilinear_core_packed; faster on TPU for
+        # small C). x+1 block: roll (true wrap); y+1 block: clamp (repeat
+        # last row). Corner rows are then y0 and y0+1-clamped, which
+        # matches (y0, y1) EXCEPT when y0f < 0 — there y0 == y1 == 0 and
+        # the blend collapses to row 0, reproduced by forcing fy to 0.
+        qx = jnp.concatenate([img, jnp.roll(img, -1, axis=2)], axis=-1)
+        quad = jnp.concatenate(
+            [qx, jnp.concatenate([qx[:, 1:], qx[:, -1:]], axis=1)], axis=-1)
+        vals = _gather_2d(quad, x0, y0)                     # (B, Q, 4C)
+        fy = jnp.where(y0f < 0, 0.0, fy)
+        Ia = vals[..., 0 * C:1 * C]
+        Ic = vals[..., 1 * C:2 * C]
+        Ib = vals[..., 2 * C:3 * C]
+        Id = vals[..., 3 * C:4 * C]
+    else:
+        Ia = _gather_2d(img, x0, y0)
+        Ib = _gather_2d(img, x0, y1)
+        Ic = _gather_2d(img, x1, y0)
+        Id = _gather_2d(img, x1, y1)
 
     if is_grid:
         if C < 1:

@@ -174,9 +174,13 @@ def _fwd_apply(plan: _Plan, img):
     B = img.shape[0]
     grid = jnp.broadcast_to(jnp.asarray(plan.grid),
                             (B,) + plan.out_shape + (2,))
+    # packed single-gather corners for small payloads (flow fields); for
+    # wide payloads (e.g. the 324-channel DCCL back-rotations) the 4C
+    # concat materialisation outweighs the saved gather rows
+    packed = img.shape[-1] <= 16
     if plan.mode == "cycle_bilinear":
-        return cycle_bilinear_sample(img, grid)
-    return cycle_grid_sample(img, grid)
+        return cycle_bilinear_sample(img, grid, packed=packed)
+    return cycle_grid_sample(img, grid, packed=packed)
 
 
 def _bwd_apply(plan: _Plan, ct):

@@ -74,7 +74,10 @@ def flo_rotate(flow, sample_grid_w2c, sample_grid_c2w):
         sample_grid_c2w = _bcast(sample_grid_c2w, B)
     start_w = jnp.asarray(grids.identity_grid(H, W))[None]
     end_w = erp.flow_to_endpoint(start_w, flow, H, W)
-    end_c = cycle_grid_sample(sample_grid_w2c, end_w, is_grid=True)
+    # packed corners: the w2c grid payload is a constant, so the 4C-channel
+    # pre-shifted concat folds at compile time and the sample is ONE gather
+    end_c = cycle_grid_sample(sample_grid_w2c, end_w, is_grid=True,
+                              packed=True)
     flow_c = end_c - sample_grid_w2c
     flow_c = jnp.stack([erp.u_clip(flow_c[..., 0], W), flow_c[..., 1]], axis=-1)
     if is_static(sample_grid_c2w):

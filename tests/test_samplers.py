@@ -207,3 +207,29 @@ class TestPackedCorners:
         b = np.asarray(samplers.cycle_bilinear_sample(
             jnp.asarray(img), jnp.asarray(coords), packed=True))
         np.testing.assert_array_equal(a, b)
+
+    def test_cycle_grid_packed_matches(self, rng, img):
+        H, W = img.shape[1], img.shape[2]
+        xs = np.concatenate([rng.uniform(-2 * W, 2 * W, (2, 300)),
+                             np.full((2, 4), W - 0.25)], axis=1)
+        ys = np.concatenate([rng.uniform(0, H - 1, (2, 150)),      # bulk
+                             rng.uniform(H - 1, H + 3, (2, 75)),   # bottom
+                             rng.uniform(-3, 0, (2, 75)),          # top
+                             np.full((2, 4), H - 1.0)], axis=1)
+        coords = np.stack([xs, ys], -1)
+        for is_grid in (False, True):
+            a = np.asarray(samplers.cycle_grid_sample(
+                jnp.asarray(img), jnp.asarray(coords), is_grid=is_grid))
+            b = np.asarray(samplers.cycle_grid_sample(
+                jnp.asarray(img), jnp.asarray(coords), is_grid=is_grid,
+                packed=True))
+            # exact except the y<0 pole collapse, where the blend order
+            # differs by one rounding (fy forced to 0 vs (1-fy)+fy sums)
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+        inrange = ys[:, :150]
+        coords = np.stack([xs[:, :150], inrange], -1)
+        a = np.asarray(samplers.cycle_grid_sample(
+            jnp.asarray(img), jnp.asarray(coords)))
+        b = np.asarray(samplers.cycle_grid_sample(
+            jnp.asarray(img), jnp.asarray(coords), packed=True))
+        np.testing.assert_array_equal(a, b)
