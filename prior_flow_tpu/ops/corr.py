@@ -343,9 +343,18 @@ class DCCLFused:
     """
 
     def __init__(self, num_levels: int = 4, radius: int = 4,
-                 grid_in_kernel: bool = True):
+                 grid_in_kernel: bool = True, fuse_levels: bool = None):
         self.num_levels = num_levels
         self.radius = radius
+        # one kernel launch for ALL levels (per-grid-step fixed cost paid
+        # once, ops/pallas/dccl_gather.py::_dccl_grid_kernel_all); requires
+        # grid_in_kernel and pre-packed pyramids. Default off until the
+        # hardware A/B lands (tools/tune_dccl_tile.py --fused).
+        if fuse_levels is None:
+            import os
+            fuse_levels = os.environ.get(
+                "PRIORFLOW_DCCL_FUSE_LEVELS", "0") == "1"
+        self.fuse_levels = fuse_levels
         # compute the cross-view window coords inside the kernel (one-hot
         # MXU strip matmul + lane gathers, exact f32). Any XLA-side
         # formulation of this step either runs the per-query x-bilinear as
@@ -409,6 +418,24 @@ class DCCLFused:
             cAx_all, cAy_all = pad4(cAx_all), pad4(cAy_all)
             cBx_all, cBy_all = pad4(cBx_all), pad4(cBy_all)
 
+        if grid_in_kernel and self.fuse_levels:
+            from .pallas.dccl_gather import dccl_packed_lookup_grid_all
+
+            packed = [pyr_A[i] if isinstance(pyr_A[i], tuple)
+                      else pack_volume(pyr_A[i]) for i in range(L)]
+            packedB = [pyr_B[i] if isinstance(pyr_B[i], tuple)
+                       else pack_volume(pyr_B[i]) for i in range(L)]
+            per_level = dccl_packed_lookup_grid_all(
+                tuple(p for p, _ in packed), tuple(p for p, _ in packedB),
+                tuple(m for _, m in packed), cqA, cqB, (gridA3, gridB3),
+                tuple(scales), interpret)
+            ownA_out = [o[0].reshape(B, h1, w1, -1) for o in per_level]
+            crossA_out = [o[1].reshape(B, h1, w1, -1) for o in per_level]
+            ownB_out = [o[2].reshape(B, h1, w1, -1) for o in per_level]
+            crossB_out = [o[3].reshape(B, h1, w1, -1) for o in per_level]
+            return self._finish(ownA_out, crossA_out, ownB_out, crossB_out,
+                                back_rot, a2b_8, b2a_8)
+
         ownA_out, crossA_out, ownB_out, crossB_out = [], [], [], []
         for i in range(L):
             scale = scales[i]
@@ -438,6 +465,12 @@ class DCCLFused:
             crossA_out.append(crossA_v.reshape(B, h1, w1, -1))
             crossB_out.append(crossB_v.reshape(B, h1, w1, -1))
 
+        return self._finish(ownA_out, crossA_out, ownB_out, crossB_out,
+                            back_rot, a2b_8, b2a_8)
+
+    @staticmethod
+    def _finish(ownA_out, crossA_out, ownB_out, crossB_out, back_rot,
+                a2b_8, b2a_8):
         cat = lambda xs: jnp.concatenate(xs, axis=-1)
         # rotate the cross result fields back into their query frames in
         # ONE per-branch resample over the level-concatenated channels

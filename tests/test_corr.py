@@ -270,3 +270,58 @@ class TestMXULookupParity:
             a = np.asarray(C.sample_volume_level(jnp.asarray(vol), jnp.asarray(coords)))
             b = np.asarray(C.sample_volume_level_mxu(jnp.asarray(vol), jnp.asarray(coords), tap_chunk=5))
         np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+class TestFusedLevels:
+    """The all-levels single-launch kernel (DCCLFused(fuse_levels=True),
+    ops/pallas/dccl_gather.py::_dccl_grid_kernel_all) must match the
+    per-level kernel path exactly — forward and volume cotangents."""
+
+    def _setup(self, rng):
+        from prior_flow_tpu.geometry import grids
+        B, h, w = 1, 8, 16
+        Q = h * w
+        volA = jnp.asarray(rng.normal(size=(B, Q, h, w)).astype(np.float32))
+        volB = jnp.asarray(rng.normal(size=(B, Q, h, w)).astype(np.float32))
+        g = grids.rotation_grids(h * 8, w * 8)
+        base = grids.identity_grid(h, w)[None]
+        coordsA = jnp.asarray(base + rng.normal(size=(B, h, w, 2)) * 5
+                              ).astype(jnp.float32)
+        coordsB = jnp.asarray(base + rng.normal(size=(B, h, w, 2)) * 5
+                              ).astype(jnp.float32)
+        gs = (jnp.asarray(g.a2b_w2c_8), jnp.asarray(g.b2a_w2c_8),
+              jnp.asarray(g.a2b_8), jnp.asarray(g.b2a_8))
+        return volA, volB, coordsA, coordsB, gs
+
+    def test_forward_equals_per_level(self, rng):
+        volA, volB, coordsA, coordsB, gs = self._setup(rng)
+        pyrA = C.build_pyramid(volA, 4)
+        pyrB = C.build_pyramid(volB, 4)
+        ref = C.DCCLFused(grid_in_kernel=True, fuse_levels=False)(
+            coordsA, coordsB, pyrA, pyrB, *gs)
+        got = C.DCCLFused(grid_in_kernel=True, fuse_levels=True)(
+            coordsA, coordsB, pyrA, pyrB, *gs)
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_vjp_equals_per_level(self, rng):
+        import jax
+        volA, volB, coordsA, coordsB, gs = self._setup(rng)
+        weights = (1.0, 2.0, 3.0, 4.0)
+
+        def loss(vA, vB, fuse):
+            pyrA = C.build_pyramid(vA, 4)
+            pyrB = C.build_pyramid(vB, 4)
+            outs = C.DCCLFused(grid_in_kernel=True, fuse_levels=fuse)(
+                coordsA, coordsB, pyrA, pyrB, *gs)
+            return sum((o * wt).sum() for o, wt in zip(outs, weights))
+
+        import jax as _jax
+        with _jax.default_matmul_precision("highest"):
+            gA, gB = jax.grad(lambda a, b: loss(a, b, True),
+                              argnums=(0, 1))(volA, volB)
+            rA, rB = jax.grad(lambda a, b: loss(a, b, False),
+                              argnums=(0, 1))(volA, volB)
+        np.testing.assert_allclose(np.asarray(gA), np.asarray(rA), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gB), np.asarray(rB), atol=1e-5)

@@ -72,6 +72,30 @@ def bench_levels(runs=12):
         res[f"level{lvl}_ms"] = round(
             (time.perf_counter() - t0) / runs * 1e3, 3)
     res["sum_ms"] = round(sum(res.values()), 3)
+
+    # all-levels single-launch kernel (dccl_packed_lookup_grid_all)
+    pyr = [jax.random.normal(jax.random.fold_in(rng, l),
+                             (1, Q, Hl, Wl), jnp.bfloat16)
+           for l, (Hl, Wl) in enumerate(level_shapes())]
+    packed = [dg.pack_volume(v) for v in pyr]
+    pAs = tuple(p for p, _ in packed)
+    metas = tuple(m for _, m in packed)
+    scales = tuple(1.0 / (2 ** l) for l in range(len(pyr)))
+
+    def chained_all(pAs, cen, s):
+        c = cen + s * 1e-30
+        outs = dg.dccl_packed_lookup_grid_all(pAs, pAs, metas, c, c,
+                                              (gA, gB), scales)
+        return outs[0][0].sum()
+
+    f = jax.jit(chained_all)
+    float(f(pAs, cen, 0.0))
+    t0 = time.perf_counter()
+    out = 0.0
+    for _ in range(runs):
+        out = f(pAs, cen, out)
+    _ = float(out)
+    res["fused_all_ms"] = round((time.perf_counter() - t0) / runs * 1e3, 3)
     return res
 
 
