@@ -178,3 +178,48 @@ class TestRematPolicies:
                 lambda a, b: np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6),
                 g_ref, g)
+
+
+class TestFuseLevelsModelPath:
+    def test_train_grads_match_per_level_kernel(self, monkeypatch):
+        """PRIORFLOW_DCCL_FUSE_LEVELS=1 (all-levels single-launch kernel)
+        must leave the model's training loss and gradients unchanged vs the
+        per-level kernel path."""
+        import jax
+        import jax.numpy as jnp
+
+        from prior_flow_tpu.models import PriOrRAFT
+        from prior_flow_tpu.train.loss import uniform_sequence_loss
+
+        H, W = 32, 64
+        rng = jax.random.PRNGKey(0)
+        img1 = jax.random.uniform(rng, (1, H, W, 3)) * 255.0
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                  (1, H, W, 3)) * 255.0
+        gt = jax.random.normal(jax.random.fold_in(rng, 2), (1, H, W, 2))
+        valid = jnp.ones((1, H, W))
+
+        def run(fused):
+            monkeypatch.setenv("PRIORFLOW_DCCL_FUSE_LEVELS",
+                               "1" if fused else "0")
+            model = PriOrRAFT(lookup_mode="pallas", precision="highest")
+            variables = model.init(rng, img1, img2, iters=1)
+
+            def loss_fn(params):
+                others = {k: v for k, v in variables.items()
+                          if k != "params"}
+                preds_A, _ = model.apply({"params": params, **others},
+                                         img1, img2, iters=2, train=True)
+                l, _ = uniform_sequence_loss(preds_A, gt, valid)
+                return l
+
+            return jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+
+        l0, g0 = run(False)
+        l1, g1 = run(True)
+        assert float(jnp.abs(l0 - l1)) < 1e-4 * max(1.0, abs(float(l0)))
+        import numpy as np
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)
