@@ -87,3 +87,42 @@ class TestDemoImageCLI:
         out = load_image(p)
         assert out.shape == (1, 32, 64, 3)
         np.testing.assert_array_equal(out[0].astype(np.uint8), img)
+
+
+class TestVideoCLI:
+    def test_sequence_with_warm_start(self, tmp_path):
+        import jax
+        import numpy as np
+        from PIL import Image
+
+        from prior_flow_tpu.checkpoint.orbax_io import save_variables
+        from prior_flow_tpu.cli import video
+        from prior_flow_tpu.data import frame_utils
+        from prior_flow_tpu.models import PriOrRAFT
+
+        H, W = 32, 64
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 255, (H, W, 3), np.uint8)
+        for i in range(3):
+            Image.fromarray(np.roll(base, 2 * i, axis=1)).save(
+                frames / f"{i:04d}.png")
+
+        model = PriOrRAFT()
+        import jax.numpy as jnp
+        img = jnp.zeros((1, H, W, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), img, img, iters=1)
+        ckpt = str(tmp_path / "ckpt")
+        save_variables(ckpt, variables)
+
+        out = tmp_path / "flows"
+        video.main(["--model", ckpt, "--input", str(frames),
+                    "--output", str(out), "--iters", "2", "--warm_start",
+                    "--viz"])
+        flos = sorted(out.glob("*.flo"))
+        pngs = sorted(out.glob("*.png"))
+        assert len(flos) == 2 and len(pngs) == 2
+        for f in flos:
+            flow = frame_utils.read_flo(str(f))
+            assert flow.shape == (H, W, 2) and np.isfinite(flow).all()
