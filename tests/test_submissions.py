@@ -93,3 +93,60 @@ class TestOrthoAugmentors:
                                    rng=np.random.RandomState(3))
         assert f.shape[-1] == 2 and v.shape == f.shape[:2]
         assert b1.shape[-1] == 3
+
+
+class TestLegacyValidators:
+    def test_validate_sintel(self, tmp_path, tiny_model):
+        from prior_flow_tpu.eval.evaluate import validate_sintel
+
+        root = str(tmp_path / "sintel")
+        for dstype in ("clean", "final"):
+            for i in range(3):
+                _img(osp.join(root, "training", dstype, "alley_1",
+                              f"frame_{i:04d}.png"), i)
+            for i in range(2):
+                _flo(osp.join(root, "training", "flow", "alley_1",
+                              f"frame_{i:04d}.flo"), i)
+        model, variables = tiny_model
+        res = validate_sintel(model, variables, iters=1, data_root=root,
+                              max_samples=1)
+        assert np.isfinite(res["clean"]) and np.isfinite(res["final"])
+
+    def test_validate_chairs(self, tmp_path, tiny_model, monkeypatch):
+        from prior_flow_tpu.data import datasets
+        from prior_flow_tpu.eval.evaluate import validate_chairs
+
+        root = str(tmp_path / "chairs")
+        for i in range(2):
+            _img(osp.join(root, f"{i:05d}_img1.ppm"), 2 * i)
+            _img(osp.join(root, f"{i:05d}_img2.ppm"), 2 * i + 1)
+            _flo(osp.join(root, f"{i:05d}_flow.flo"), i)
+        split = str(tmp_path / "chairs_split.txt")
+        np.savetxt(split, np.array([2, 2]), fmt="%d")
+        orig = datasets.FlyingChairs.__init__
+        monkeypatch.setattr(
+            datasets.FlyingChairs, "__init__",
+            lambda self, aug_params=None, split="train", root=root,
+            split_file=split: orig(self, aug_params, split, root, split_file))
+        model, variables = tiny_model
+        res = validate_chairs(model, variables, iters=1, data_root=root,
+                              max_samples=1)
+        assert np.isfinite(res["chairs"])
+
+    def test_validate_kitti(self, tmp_path, tiny_model):
+        from prior_flow_tpu.data import frame_utils as fu
+        from prior_flow_tpu.eval.evaluate import validate_kitti
+
+        root = str(tmp_path / "Kitti2015")
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            _img(osp.join(root, "training", "image_2", f"{i:06d}_10.png"), i)
+            _img(osp.join(root, "training", "image_2", f"{i:06d}_11.png"), i)
+            os.makedirs(osp.join(root, "training", "flow_occ"), exist_ok=True)
+            fu.write_flow_kitti(
+                osp.join(root, "training", "flow_occ", f"{i:06d}_10.png"),
+                rng.uniform(-5, 5, (H, W, 2)).astype(np.float32))
+        model, variables = tiny_model
+        res = validate_kitti(model, variables, iters=1, data_root=root,
+                             max_samples=1)
+        assert np.isfinite(res["kitti-epe"]) and np.isfinite(res["kitti-f1"])
