@@ -159,6 +159,19 @@ def main():
         rec["tflop_per_pair"] = round(flops / 1e12, 3)
         rec["mfu"] = round(flops * fps / (V5E_PEAK_BF16_TFLOPS * 1e12), 4)
 
+    # The sustained measurement is complete: make it the SIGTERM record and
+    # the stale fallback NOW, before the batch-4 secondary risks a cold
+    # compile of a second graph — a SIGTERM there must report this result,
+    # not the latency-bound partial (the BENCH_r02 rc=124 failure mode).
+    _best.clear()
+    _best.update(rec)
+    if (H, W, ITERS) == (512, 1024, 12):
+        try:
+            with open(LAST_GOOD, "w") as f:
+                json.dump(rec, f)
+        except Exception:
+            pass
+
     # Secondary: batched serving throughput (pairs/s at batch 4). Batching
     # amortises per-op dispatch and feeds the MXU larger contractions; the
     # headline stays batch 1 (the reference protocol is single-pair,
@@ -184,8 +197,9 @@ def main():
             pass  # OOM or tunnel hiccup: the primary record stands alone
     _best["done"] = True
     if (H, W, ITERS) == (512, 1024, 12):
-        # only a production-config record may serve as the stale fallback
-        # for the driver's run (tiny-shape smoke tests must not clobber it)
+        # refresh the stale fallback with the secondary's batch keys
+        # (only a production-config record may serve as the fallback —
+        # tiny-shape smoke tests must not clobber it)
         try:
             with open(LAST_GOOD, "w") as f:
                 json.dump(rec, f)

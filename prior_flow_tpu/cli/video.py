@@ -48,11 +48,13 @@ def main(argv=None):
     from .demo_image import load_model_variables
 
     frames = sorted(
-        f for ext in ("png", "jpg", "jpeg")
-        for f in glob(osp.join(args.input, f"*.{ext}")))
+        f for f in glob(osp.join(args.input, "*"))
+        if osp.splitext(f)[1].lower() in (".png", ".jpg", ".jpeg"))
     if len(frames) < 2:
         raise SystemExit(f"{args.input}: need >= 2 frames, found {len(frames)}")
     if args.max_pairs is not None:
+        if args.max_pairs < 1:
+            raise SystemExit(f"--max_pairs must be >= 1, got {args.max_pairs}")
         frames = frames[:args.max_pairs + 1]
 
     model = PriOrRAFT(mixed_precision=args.mixed_precision)

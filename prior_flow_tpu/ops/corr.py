@@ -349,7 +349,8 @@ class DCCLFused:
         # one kernel launch for ALL levels (per-grid-step fixed cost paid
         # once, ops/pallas/dccl_gather.py::_dccl_grid_kernel_all); requires
         # grid_in_kernel and pre-packed pyramids. Default off until the
-        # hardware A/B lands (tools/tune_dccl_tile.py --fused).
+        # hardware A/B lands (tools/tune_dccl_tile.py benches it per config
+        # as ``fused_all_ms``).
         if fuse_levels is None:
             import os
             fuse_levels = os.environ.get(

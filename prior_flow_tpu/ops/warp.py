@@ -33,9 +33,12 @@ def img_rotate(image, sample_grid):
     """
     if sample_grid.ndim == 3:
         sample_grid = _bcast(sample_grid, image.shape[0])
-    # packed single-gather corners: bit-exact, profiled 9.5 -> ~? ms on the
-    # full-res forward rotation (the dominant non-kernel sampler cost)
-    return cycle_bilinear_sample(image, sample_grid, packed=True)
+    # packed single-gather corners (bit-exact) only pay off for narrow
+    # payloads: the 4C-channel concat quadruples gather traffic, so wide
+    # feature maps keep the 4-gather path (same heuristic as
+    # static_resample's packed gate).
+    return cycle_bilinear_sample(image, sample_grid,
+                                 packed=image.shape[-1] <= 16)
 
 
 def img_a2b(image):

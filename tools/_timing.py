@@ -21,6 +21,26 @@ REPS = 3           # dispatches averaged
 DISPATCH_MS = 8.0  # measured axon-tunnel round-trip to subtract
 
 
+def timed_chain(fn, *args, runs=24):
+    """Per-call wall ms of ``fn(*args, carry)`` over ``runs`` chained calls.
+
+    ``fn`` must accept a trailing scalar carry and return a scalar; each
+    dispatch consumes the previous result, so dispatches overlap the device
+    while one final fetch proves all completed (the bench.py sustained
+    method). Includes jit + one warm call.
+    """
+    import jax
+
+    f = jax.jit(fn)
+    float(f(*args, 0.0))  # compile + warm
+    t0 = time.perf_counter()
+    out = 0.0
+    for _ in range(runs):
+        out = f(*args, out)
+    float(out)
+    return (time.perf_counter() - t0) / runs * 1e3
+
+
 def timeit(name, body, *args, n=N, reps=REPS, dispatch_ms=DISPATCH_MS):
     """Print and return the per-iteration device time of ``body`` in ms.
 

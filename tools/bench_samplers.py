@@ -12,26 +12,13 @@ Prints one JSON line per case. Run on the chip:  python tools/bench_samplers.py
 from __future__ import annotations
 
 import json
-import sys, os, time
+import sys, os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._timing import timed_chain as timed  # noqa: E402
+
 H, W = 512, 1024
-RUNS = 24
-
-
-def timed(fn, *args, runs=RUNS):
-    import jax
-
-    f = jax.jit(fn)
-    out = f(*args, 0.0)
-    _ = float(out)
-    t0 = time.perf_counter()
-    o = 0.0
-    for _ in range(runs):
-        o = f(*args, o)
-    _ = float(o)
-    return (time.perf_counter() - t0) / runs * 1e3
 
 
 def main():

@@ -3,7 +3,6 @@ cross-coord window einsum they replace (method: tools/microbench_scan.py).
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -6,7 +6,6 @@ convs vs norms, dtype, and per-stage cost.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -6,7 +6,6 @@ measures which stats formulation avoids the copies.
 """
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -10,7 +10,6 @@ plus the per-forward setup stages.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

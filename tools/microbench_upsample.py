@@ -5,7 +5,6 @@ The training profile shows ~300 ms/step in the upsample backward: the
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

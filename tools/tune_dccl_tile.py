@@ -16,9 +16,11 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys, os, time
+import sys, os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools._timing import timed_chain  # noqa: E402
 
 H, W = 512, 1024
 ITERS = 12
@@ -62,15 +64,8 @@ def bench_levels(runs=12):
                                               scale)
             return outs[0].sum()
 
-        f = jax.jit(chained)
-        float(f(pA, pB, cen, 0.0))  # compile+warm
-        t0 = time.perf_counter()
-        out = 0.0
-        for _ in range(runs):
-            out = f(pA, pB, cen, out)
-        _ = float(out)
         res[f"level{lvl}_ms"] = round(
-            (time.perf_counter() - t0) / runs * 1e3, 3)
+            timed_chain(chained, pA, pB, cen, runs=runs), 3)
     res["sum_ms"] = round(sum(res.values()), 3)
 
     # all-levels single-launch kernel (dccl_packed_lookup_grid_all)
@@ -88,14 +83,8 @@ def bench_levels(runs=12):
                                               (gA, gB), scales)
         return outs[0][0].sum()
 
-    f = jax.jit(chained_all)
-    float(f(pAs, cen, 0.0))
-    t0 = time.perf_counter()
-    out = 0.0
-    for _ in range(runs):
-        out = f(pAs, cen, out)
-    _ = float(out)
-    res["fused_all_ms"] = round((time.perf_counter() - t0) / runs * 1e3, 3)
+    res["fused_all_ms"] = round(timed_chain(chained_all, pAs, cen,
+                                            runs=runs), 3)
     return res
 
 
@@ -110,17 +99,11 @@ def bench_forward(runs=6):
     img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
                               (1, H, W, 3)) * 255.0
     variables = model.init(rng, img1, img2, iters=1)
-    f = jax.jit(lambda v, a, b, s: model.apply(
-        v, a + s * 1e-30, b, iters=ITERS, test_mode=True).sum())
-    float(f(variables, img1, img2, 0.0))
-    t0 = time.perf_counter()
-    out = 0.0
-    for _ in range(runs):
-        out = f(variables, img1, img2, out)
-    _ = float(out)
-    per = (time.perf_counter() - t0) / runs
-    return {"forward_ms": round(per * 1e3, 1),
-            "pairs_per_s": round(1.0 / per, 3)}
+    ms = timed_chain(lambda v, a, b, s: model.apply(
+        v, a + s * 1e-30, b, iters=ITERS, test_mode=True).sum(),
+        variables, img1, img2, runs=runs)
+    return {"forward_ms": round(ms, 1),
+            "pairs_per_s": round(1000.0 / ms, 3)}
 
 
 def main():
