@@ -2,7 +2,7 @@
 
 Rebuild of evaluate.py's __main__ (evaluate.py:400-429) with the same flag
 surface (--model/--dataset/--scene/--mixed_precision/--dropout/--regions)
-plus --data_root/--iters/--max_samples conveniences.
+plus --data_root/--iters/--max_samples/--eval_batch_size conveniences.
 """
 
 from __future__ import annotations
@@ -27,6 +27,9 @@ def main(argv=None):
                              "matching the reference validators)")
     parser.add_argument("--data_root", default=None)
     parser.add_argument("--max_samples", type=int, default=None)
+    # beyond-reference: batch the eval forward (identical per-sample
+    # metrics; amortises TPU dispatch — see eval/evaluate.py::_iter_flows)
+    parser.add_argument("--eval_batch_size", type=int, default=1)
     # default to full-precision accumulation: benchmark-grade EPE parity
     # with the fp32 reference; pass --precision fastest for throughput
     parser.add_argument("--precision", default="highest",
@@ -48,7 +51,8 @@ def main(argv=None):
 
     default_iters = 24 if args.dataset == "City100" else 12
     kw = dict(iters=args.iters if args.iters is not None else default_iters,
-              data_root=args.data_root, max_samples=args.max_samples)
+              data_root=args.data_root, max_samples=args.max_samples,
+              batch_size=args.eval_batch_size)
     if args.dataset == "City100":
         # the reference's validate_city_regions path (evaluate.py:172-230):
         # City test split with the extra cos-weighted sd_uni metric and an

@@ -62,31 +62,78 @@ def _forward_padded(forward, img1, img2):
     return np.asarray(padder.unpad(flow))[0]  # (H, W, 2)
 
 
+def _iter_flows(forward, val, n, batch_size=1):
+    """Yield ``(index, flow, flow_gt)`` per sample, batching the forward.
+
+    The reference protocol is strictly batch 1 (evaluate.py:341-350); the
+    per-SAMPLE metric semantics here are identical for any batch size (the
+    model couples nothing across the batch axis — frozen BN, per-sample
+    instance norm), but batching amortises the per-dispatch overhead and
+    feeds the MXU larger contractions on TPU (bench.py's batch-4
+    secondary). Consecutive same-shape samples are grouped; a short final
+    group is padded by repeating its last sample so every dispatch reuses
+    one compiled shape (XLA static-shape discipline), and the padded
+    results are dropped.
+    """
+    buf = []  # [(index, (img1, img2, flow_gt, ...)), ...]
+
+    def flush():
+        if not buf:
+            return
+        idx = [i for i, _ in buf]
+        samples = [s for _, s in buf]
+        buf.clear()
+        imgs1 = np.stack([np.asarray(s[0], np.float32) for s in samples])
+        imgs2 = np.stack([np.asarray(s[1], np.float32) for s in samples])
+        k = len(idx)
+        if k < batch_size:
+            pad = np.repeat(imgs1[-1:], batch_size - k, axis=0)
+            imgs1 = np.concatenate([imgs1, pad])
+            imgs2 = np.concatenate([imgs2, np.repeat(imgs2[-1:],
+                                                     batch_size - k, axis=0)])
+        padder = InputPadder(imgs1.shape)
+        i1, i2 = padder.pad(jnp.asarray(imgs1), jnp.asarray(imgs2))
+        flows = np.asarray(padder.unpad(forward(i1, i2)))
+        for j in range(k):
+            yield idx[j], flows[j], samples[j][2]
+
+    for i in range(n):
+        sample = val[i]
+        if buf and np.asarray(sample[0]).shape != np.asarray(buf[-1][1][0]).shape:
+            yield from flush()
+        buf.append((i, sample))
+        if len(buf) == batch_size:
+            yield from flush()
+    yield from flush()
+
+
 def validate_mpf(model, variables, iters: int = 12, scene: str = "EFT",
-                 data_root: Optional[str] = None, max_samples=None) -> Dict:
+                 data_root: Optional[str] = None, max_samples=None,
+                 batch_size: int = 1) -> Dict:
     """EPE + mean-SEPE on the MPF test split (evaluate.py:338-365)."""
     kw = {"root": data_root} if data_root else {}
     val = ds.MPFDataset(split="test", scene=scene, **kw)
     return _validate_dense(model, variables, val, iters, name=scene,
-                           max_samples=max_samples)
+                           max_samples=max_samples, batch_size=batch_size)
 
 
 def validate_flowscape(model, variables, iters: int = 12, scene: str = "sunny",
-                       data_root: Optional[str] = None, max_samples=None) -> Dict:
+                       data_root: Optional[str] = None, max_samples=None,
+                       batch_size: int = 1) -> Dict:
     """EPE + mean-SEPE on FlowScape (evaluate.py:368-397)."""
     kw = {"root": data_root} if data_root else {}
     val = ds.FlowScape(split="test", scene=scene, **kw)
     return _validate_dense(model, variables, val, iters,
-                           name=f"FlowScape-{scene}", max_samples=max_samples)
+                           name=f"FlowScape-{scene}", max_samples=max_samples,
+                           batch_size=batch_size)
 
 
-def _validate_dense(model, variables, val, iters, name, max_samples=None):
+def _validate_dense(model, variables, val, iters, name, max_samples=None,
+                    batch_size=1):
     forward = make_forward(model, variables, iters)
     epe_list, sd_list = [], []
     n = len(val) if max_samples is None else min(len(val), max_samples)
-    for i in range(n):
-        img1, img2, flow_gt, _ = val[i]
-        flow = _forward_padded(forward, img1, img2)
+    for _, flow, flow_gt in _iter_flows(forward, val, n, batch_size):
         err = np.sqrt(np.sum((flow - flow_gt) ** 2, axis=-1))
         sd = np.asarray(M.great_circle_distance(
             jnp.asarray(flow)[None], jnp.asarray(flow_gt)[None]))[0]
@@ -102,7 +149,7 @@ REGIONS = ("All", "Equator", "Poles", "Center")
 
 
 def _validate_regions(model, variables, val, iters, name, with_sd_uni=False,
-                      max_samples=None):
+                      max_samples=None, batch_size=1):
     """Single-pass per-region EPE/SEPE (and optional cos-weighted sd_uni)."""
     forward = make_forward(model, variables, iters)
     masks = None
@@ -111,13 +158,11 @@ def _validate_regions(model, variables, val, iters, name, with_sd_uni=False,
     sd_lists = {r: [] for r in REGIONS}
     sd_uni_lists = {r: [] for r in REGIONS}
     n = len(val) if max_samples is None else min(len(val), max_samples)
-    for i in range(n):
-        img1, img2, flow_gt, _ = val[i]
+    for _, flow, flow_gt in _iter_flows(forward, val, n, batch_size):
         if masks is None:
-            H, W = img1.shape[:2]
+            H, W = flow_gt.shape[:2]
             masks = {r: m.reshape(-1) for r, m in M.region_masks(H, W).items()}
             uniform = M.spherical_mask(H, W).reshape(-1)
-        flow = _forward_padded(forward, img1, img2)
         err = np.sqrt(np.sum((flow - flow_gt) ** 2, axis=-1)).reshape(-1)
         sd = np.asarray(M.great_circle_distance(
             jnp.asarray(flow)[None], jnp.asarray(flow_gt)[None]))[0].reshape(-1)
@@ -144,32 +189,36 @@ def _validate_regions(model, variables, val, iters, name, with_sd_uni=False,
 
 
 def validate_mpf_regions(model, variables, iters: int = 12, scene: str = "EFT",
-                         data_root: Optional[str] = None, max_samples=None):
+                         data_root: Optional[str] = None, max_samples=None,
+                         batch_size: int = 1):
     kw = {"root": data_root} if data_root else {}
     val = ds.MPFDataset(split="test", scene=scene, **kw)
     return _validate_regions(model, variables, val, iters, scene,
-                             max_samples=max_samples)
+                             max_samples=max_samples, batch_size=batch_size)
 
 
 def validate_flowscape_regions(model, variables, iters: int = 12,
                                scene: str = "sunny",
                                data_root: Optional[str] = None,
-                               max_samples=None):
+                               max_samples=None, batch_size: int = 1):
     kw = {"root": data_root} if data_root else {}
     val = ds.FlowScape(split="test", scene=scene, **kw)
     return _validate_regions(model, variables, val, iters,
-                             f"FlowScape-{scene}", max_samples=max_samples)
+                             f"FlowScape-{scene}", max_samples=max_samples,
+                             batch_size=batch_size)
 
 
 def validate_city_regions(model, variables, iters: int = 24,
-                          data_root: Optional[str] = None, max_samples=None):
+                          data_root: Optional[str] = None, max_samples=None,
+                          batch_size: int = 1):
     """City split with the additional cos-weighted sd_uni metric
     (evaluate.py:172-230; the reference's City_100 dataset class does not
     exist — the MPF City test split is the same data)."""
     kw = {"root": data_root} if data_root else {}
     val = ds.MPFDataset(split="test", scene="City", **kw)
     return _validate_regions(model, variables, val, iters, "city",
-                             with_sd_uni=True, max_samples=max_samples)
+                             with_sd_uni=True, max_samples=max_samples,
+                             batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

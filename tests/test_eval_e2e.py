@@ -61,6 +61,31 @@ class TestValidators:
         assert np.isfinite(res["All"]["sd_uni"])
 
 
+class TestBatchedEval:
+    def test_batched_equals_batch1(self, setup):
+        """batch_size>1 groups the forward but must reproduce the batch-1
+        metrics (per-sample independence), including the final short batch
+        that is repeat-padded and dropped (3 samples at batch_size=2)."""
+        root, model, variables = setup
+        r1 = E.validate_mpf(model, variables, iters=2, scene="EFT",
+                            data_root=root, max_samples=3)
+        r2 = E.validate_mpf(model, variables, iters=2, scene="EFT",
+                            data_root=root, max_samples=3, batch_size=2)
+        assert np.isclose(r1["EFT-epe"], r2["EFT-epe"], rtol=1e-4)
+        assert np.isclose(r1["EFT-SEPE"], r2["EFT-SEPE"], rtol=1e-4)
+
+    def test_batched_regions_equals_batch1(self, setup):
+        root, model, variables = setup
+        r1 = E.validate_mpf_regions(model, variables, iters=2, scene="EFT",
+                                    data_root=root, max_samples=2)
+        r2 = E.validate_mpf_regions(model, variables, iters=2, scene="EFT",
+                                    data_root=root, max_samples=2,
+                                    batch_size=2)
+        for region in r1:
+            assert np.isclose(r1[region]["epe"], r2[region]["epe"], rtol=1e-4)
+            assert np.isclose(r1[region]["sd"], r2[region]["sd"], rtol=1e-4)
+
+
 class TestPerfectPrediction:
     def test_zero_epe_when_prediction_matches_gt(self, setup, tmp_path):
         """Pipe a 'model' that returns the GT through the dense validator:
