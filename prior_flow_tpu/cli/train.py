@@ -31,6 +31,9 @@ def build_parser():
                         help="training dataset: City | EFT | FlowScape")
     parser.add_argument("--restore_ckpt", default=None)
     parser.add_argument("--validation", type=str, nargs="+", default=[])
+    parser.add_argument("--eval_batch_size", type=int, default=1,
+                        help="batch the periodic-validation forward "
+                             "(identical metrics, amortised TPU dispatch)")
     parser.add_argument("--preset", action="store_true",
                         help="apply the canonical scripts/train_*.sh recipe")
 
@@ -124,7 +127,9 @@ def main(argv=None):
 
     def _mk_val(fn, **kw):
         return lambda model, variables: fn(model, variables,
-                                           data_root=args.data_root, **kw)
+                                           data_root=args.data_root,
+                                           batch_size=args.eval_batch_size,
+                                           **kw)
 
     validators = {
         "City": _mk_val(E.validate_mpf, scene="City"),
