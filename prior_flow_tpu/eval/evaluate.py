@@ -55,15 +55,8 @@ def _prep(img):
     return jnp.asarray(img, jnp.float32)[None]
 
 
-def _forward_padded(forward, img1, img2):
-    padder = InputPadder(_prep(img1).shape)
-    i1, i2 = padder.pad(_prep(img1), _prep(img2))
-    flow = forward(i1, i2)
-    return np.asarray(padder.unpad(flow))[0]  # (H, W, 2)
-
-
-def _iter_flows(forward, val, n, batch_size=1):
-    """Yield ``(index, flow, flow_gt)`` per sample, batching the forward.
+def _iter_flows(forward, val, n, batch_size=1, padder_mode="sintel"):
+    """Yield ``(index, flow, sample)`` per sample, batching the forward.
 
     The reference protocol is strictly batch 1 (evaluate.py:341-350); the
     per-SAMPLE metric semantics here are identical for any batch size (the
@@ -91,11 +84,11 @@ def _iter_flows(forward, val, n, batch_size=1):
             imgs1 = np.concatenate([imgs1, pad])
             imgs2 = np.concatenate([imgs2, np.repeat(imgs2[-1:],
                                                      batch_size - k, axis=0)])
-        padder = InputPadder(imgs1.shape)
+        padder = InputPadder(imgs1.shape, mode=padder_mode)
         i1, i2 = padder.pad(jnp.asarray(imgs1), jnp.asarray(imgs2))
         flows = np.asarray(padder.unpad(forward(i1, i2)))
         for j in range(k):
-            yield idx[j], flows[j], samples[j][2]
+            yield idx[j], flows[j], samples[j]
 
     for i in range(n):
         sample = val[i]
@@ -133,7 +126,8 @@ def _validate_dense(model, variables, val, iters, name, max_samples=None,
     forward = make_forward(model, variables, iters)
     epe_list, sd_list = [], []
     n = len(val) if max_samples is None else min(len(val), max_samples)
-    for _, flow, flow_gt in _iter_flows(forward, val, n, batch_size):
+    for _, flow, sample in _iter_flows(forward, val, n, batch_size):
+        flow_gt = sample[2]
         err = np.sqrt(np.sum((flow - flow_gt) ** 2, axis=-1))
         sd = np.asarray(M.great_circle_distance(
             jnp.asarray(flow)[None], jnp.asarray(flow_gt)[None]))[0]
@@ -158,7 +152,8 @@ def _validate_regions(model, variables, val, iters, name, with_sd_uni=False,
     sd_lists = {r: [] for r in REGIONS}
     sd_uni_lists = {r: [] for r in REGIONS}
     n = len(val) if max_samples is None else min(len(val), max_samples)
-    for _, flow, flow_gt in _iter_flows(forward, val, n, batch_size):
+    for _, flow, sample in _iter_flows(forward, val, n, batch_size):
+        flow_gt = sample[2]
         if masks is None:
             H, W = flow_gt.shape[:2]
             masks = {r: m.reshape(-1) for r, m in M.region_masks(H, W).items()}
@@ -226,15 +221,15 @@ def validate_city_regions(model, variables, iters: int = 24,
 # ---------------------------------------------------------------------------
 
 def validate_chairs(model, variables, iters: int = 24,
-                    data_root: Optional[str] = None, max_samples=None):
+                    data_root: Optional[str] = None, max_samples=None,
+                    batch_size: int = 1):
     kw = {"root": data_root} if data_root else {}
     val = ds.FlyingChairs(split="validation", **kw)
     forward = make_forward(model, variables, iters)
     epe_list = []
     n = len(val) if max_samples is None else min(len(val), max_samples)
-    for i in range(n):
-        img1, img2, flow_gt, _ = val[i]
-        flow = _forward_padded(forward, img1, img2)
+    for _, flow, sample in _iter_flows(forward, val, n, batch_size):
+        flow_gt = sample[2]
         epe_list.append(np.sqrt(np.sum((flow - flow_gt) ** 2, -1)).reshape(-1))
     epe = float(np.mean(np.concatenate(epe_list)))
     print(f"Validation Chairs EPE: {epe:f}")
@@ -242,7 +237,8 @@ def validate_chairs(model, variables, iters: int = 24,
 
 
 def validate_sintel(model, variables, iters: int = 32,
-                    data_root: Optional[str] = None, max_samples=None):
+                    data_root: Optional[str] = None, max_samples=None,
+                    batch_size: int = 1):
     results = {}
     forward = make_forward(model, variables, iters)
     for dstype in ("clean", "final"):
@@ -250,9 +246,8 @@ def validate_sintel(model, variables, iters: int = 32,
         val = ds.MpiSintel(split="training", dstype=dstype, **kw)
         epe_list = []
         n = len(val) if max_samples is None else min(len(val), max_samples)
-        for i in range(n):
-            img1, img2, flow_gt, _ = val[i]
-            flow = _forward_padded(forward, img1, img2)
+        for _, flow, sample in _iter_flows(forward, val, n, batch_size):
+            flow_gt = sample[2]
             epe_list.append(np.sqrt(np.sum((flow - flow_gt) ** 2, -1)).reshape(-1))
         epe_all = np.concatenate(epe_list)
         print(f"Validation ({dstype}) EPE: {np.mean(epe_all):f}, "
@@ -263,17 +258,16 @@ def validate_sintel(model, variables, iters: int = 32,
 
 
 def validate_kitti(model, variables, iters: int = 24,
-                   data_root: Optional[str] = None, max_samples=None):
+                   data_root: Optional[str] = None, max_samples=None,
+                   batch_size: int = 1):
     kw = {"root": data_root} if data_root else {}
     val = ds.KITTI(split="training", **kw)
     forward = make_forward(model, variables, iters)
     out_list, epe_list = [], []
     n = len(val) if max_samples is None else min(len(val), max_samples)
-    for i in range(n):
-        img1, img2, flow_gt, valid_gt = val[i]
-        padder = InputPadder(_prep(img1).shape, mode="kitti")
-        i1, i2 = padder.pad(_prep(img1), _prep(img2))
-        flow = np.asarray(padder.unpad(forward(i1, i2)))[0]
+    for _, flow, sample in _iter_flows(forward, val, n, batch_size,
+                                       padder_mode="kitti"):
+        flow_gt, valid_gt = sample[2], sample[3]
         err = np.sqrt(np.sum((flow - flow_gt) ** 2, -1)).reshape(-1)
         mag = np.sqrt(np.sum(flow_gt ** 2, -1)).reshape(-1)
         v = valid_gt.reshape(-1) >= 0.5

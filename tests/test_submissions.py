@@ -150,3 +150,27 @@ class TestLegacyValidators:
         res = validate_kitti(model, variables, iters=1, data_root=root,
                              max_samples=1)
         assert np.isfinite(res["kitti-epe"]) and np.isfinite(res["kitti-f1"])
+
+    def test_validate_kitti_batched_matches_batch1(self, tmp_path, tiny_model):
+        """Batched legacy validator (kitti padder mode + valid mask through
+        _iter_flows) reproduces the batch-1 numbers, incl. the repeat-padded
+        final group (2 samples at batch_size=2 after a 1-sample flush)."""
+        from prior_flow_tpu.data import frame_utils as fu
+        from prior_flow_tpu.eval.evaluate import validate_kitti
+
+        root = str(tmp_path / "Kitti2015")
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            _img(osp.join(root, "training", "image_2", f"{i:06d}_10.png"), i)
+            _img(osp.join(root, "training", "image_2", f"{i:06d}_11.png"), i)
+            os.makedirs(osp.join(root, "training", "flow_occ"), exist_ok=True)
+            fu.write_flow_kitti(
+                osp.join(root, "training", "flow_occ", f"{i:06d}_10.png"),
+                rng.uniform(-5, 5, (H, W, 2)).astype(np.float32))
+        model, variables = tiny_model
+        r1 = validate_kitti(model, variables, iters=1, data_root=root,
+                            max_samples=3)
+        r2 = validate_kitti(model, variables, iters=1, data_root=root,
+                            max_samples=3, batch_size=2)
+        assert np.isclose(r1["kitti-epe"], r2["kitti-epe"], rtol=1e-4)
+        assert np.isclose(r1["kitti-f1"], r2["kitti-f1"], rtol=1e-4)
