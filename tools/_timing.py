@@ -41,6 +41,34 @@ def timed_chain(fn, *args, runs=24):
     return (time.perf_counter() - t0) / runs * 1e3
 
 
+def timed_scan(fn, *args, n=N, reps=REPS, dispatch_ms=DISPATCH_MS):
+    """Per-call device ms of ``fn(*args, carry)`` via in-jit ``lax.scan``.
+
+    Same call contract as ``timed_chain`` (trailing scalar carry, scalar
+    return) but all ``n`` repetitions run inside ONE dispatch — required
+    whenever ``args`` hold large arrays: the axon tunnel re-ships
+    per-dispatch arguments, so call chaining measures tunnel bandwidth,
+    not the kernel (a level-0 DCCL call: 1.6 ms in-jit vs ~180 ms
+    chained, 2026-08-18).
+    """
+    def run(*a):
+        def scan_fn(c, _):
+            return fn(*a, c), None
+
+        c, _ = jax.lax.scan(scan_fn, 0.0, None, length=n)
+        return c
+
+    jfn = jax.jit(run)
+    float(jfn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    out = 0.0
+    for _ in range(reps):
+        out = jfn(*args)
+    float(out)
+    total_ms = (time.perf_counter() - t0) / reps * 1e3
+    return max(total_ms - dispatch_ms, 0.0) / n
+
+
 def timeit(name, body, *args, n=N, reps=REPS, dispatch_ms=DISPATCH_MS):
     """Print and return the per-iteration device time of ``body`` in ms.
 

@@ -50,10 +50,14 @@ def read_sweep(path):
 
 
 def best_config(recs):
-    """(tile_cap, budget_mb, fused, kernel_ms) minimising per-forward cost."""
+    """Config minimising cost — REAL forward ms when the sweep ran --full
+    (forward_ms / fused_forward_ms), else the kernel microbench sums."""
+    has_fwd = any("forward_ms" in r for r in recs)
+    keys = ((False, "forward_ms"), (True, "fused_forward_ms")) if has_fwd \
+        else ((False, "sum_ms"), (True, "fused_all_ms"))
     best = None
     for r in recs:
-        for fused, key in ((False, "sum_ms"), (True, "fused_all_ms")):
+        for fused, key in keys:
             ms = r.get(key)
             if ms is None:
                 continue
@@ -64,7 +68,7 @@ def best_config(recs):
         return None
     ms, cap, mb, fused = best
     return {"tile_cap": cap, "grid_budget_mb": mb, "fused": fused,
-            "kernel_ms": ms}
+            ("forward_ms" if has_fwd else "kernel_ms"): ms}
 
 
 def run_bench(env_overrides, timeout=3600):

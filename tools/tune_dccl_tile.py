@@ -6,8 +6,17 @@ per 512x1024 forward) despite 4x-shrinking volumes — per-step fixed
 overhead, not gather work, binds. A larger T amortises it; VMEM caps it.
 
 Sweeps TILE_CAP x GRID_VMEM_BUDGET over (a) a per-level kernel microbench
-(12 chained calls, production level shapes) and (b) the full test-mode
-forward, and prints one JSON line per config. Run on hardware:
+and (b) the full test-mode forward, and prints one JSON line per config.
+
+Measurement method matters through the axon tunnel: per-dispatch chaining
+re-ships the packed level-0 volumes (2 x 134 MB) on EVERY call, inflating
+1.6 ms of device work to ~180 ms of tunnel traffic (measured 2026-08-18).
+The kernel microbench therefore loops in-jit via ``lax.scan`` (one
+dispatch covers all repetitions); only the full forward — whose inputs
+are two small images — uses call chaining (the bench.py method).
+
+Centroids are the identity coords grid (production iteration-0 state),
+not random: lookup coords in real forwards are smooth flow fields.
 
     python tools/tune_dccl_tile.py [--full]
 """
@@ -20,7 +29,7 @@ import sys, os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools._timing import timed_chain  # noqa: E402
+from tools._timing import timed_chain, timed_scan  # noqa: E402
 
 H, W = 512, 1024
 ITERS = 12
@@ -39,7 +48,7 @@ def bench_levels(runs=12):
     import jax
     import jax.numpy as jnp
 
-    from prior_flow_tpu.geometry.grids import rotation_grids
+    from prior_flow_tpu.geometry.grids import rotation_grids, identity_grid
     from prior_flow_tpu.ops.pallas import dccl_gather as dg
 
     h8, w8 = H // 8, W // 8
@@ -49,7 +58,7 @@ def bench_levels(runs=12):
     gB = jnp.asarray(rg.b2a_w2c_8, jnp.float32)
 
     rng = jax.random.PRNGKey(0)
-    cen = jax.random.uniform(rng, (1, Q, 2)) * jnp.asarray([w8, h8])
+    cen = jnp.asarray(identity_grid(h8, w8), jnp.float32).reshape(1, Q, 2)
     res = {}
     for lvl, (Hl, Wl) in enumerate(level_shapes()):
         vol = jax.random.normal(jax.random.fold_in(rng, lvl),
@@ -65,7 +74,7 @@ def bench_levels(runs=12):
             return outs[0].sum()
 
         res[f"level{lvl}_ms"] = round(
-            timed_chain(chained, pA, pB, cen, runs=runs), 3)
+            timed_scan(chained, pA, pB, cen), 3)
     res["sum_ms"] = round(sum(res.values()), 3)
 
     # all-levels single-launch kernel (dccl_packed_lookup_grid_all)
@@ -83,16 +92,16 @@ def bench_levels(runs=12):
                                               (gA, gB), scales)
         return outs[0][0].sum()
 
-    res["fused_all_ms"] = round(timed_chain(chained_all, pAs, cen,
-                                            runs=runs), 3)
+    res["fused_all_ms"] = round(timed_scan(chained_all, pAs, cen), 3)
     return res
 
 
-def bench_forward(runs=6):
+def bench_forward(runs=6, fused=False):
     import jax
 
     from prior_flow_tpu.models import PriOrRAFT
 
+    os.environ["PRIORFLOW_DCCL_FUSE_LEVELS"] = "1" if fused else "0"
     model = PriOrRAFT(mixed_precision=True)
     rng = jax.random.PRNGKey(0)
     img1 = jax.random.uniform(rng, (1, H, W, 3)) * 255.0
@@ -134,6 +143,10 @@ def main():
                 rec.update(bench_levels())
                 if args.full:
                     rec.update(bench_forward())
+                    if rec.get("fused_all_ms", 1e9) < rec.get("sum_ms", 1e9):
+                        fwd = bench_forward(fused=True)
+                        rec["fused_forward_ms"] = fwd["forward_ms"]
+                        rec["fused_pairs_per_s"] = fwd["pairs_per_s"]
             except Exception as e:  # Mosaic VMEM overflow etc.
                 rec["error"] = f"{type(e).__name__}: {e}"[:300]
             print(json.dumps(rec), flush=True)
