@@ -32,9 +32,14 @@ def timed_chain(fn, *args, runs=24):
     import jax
 
     f = jax.jit(fn)
-    float(f(*args, 0.0))  # compile + warm
+    # warm with a STRONG-typed f32 scalar: the loop feeds each call's
+    # strong f32 result back in, and a weak-typed 0.0 warm call would
+    # leave the strong-typed signature uncompiled — the first timed call
+    # then recompiles inside the measured region (a ~30 s model compile
+    # smeared over `runs`; the round-3 sweep's 46x-inflated forward_ms)
+    out = jnp.zeros((), jnp.float32)
+    float(f(*args, out))  # compile + warm
     t0 = time.perf_counter()
-    out = 0.0
     for _ in range(runs):
         out = f(*args, out)
     float(out)
