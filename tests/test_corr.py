@@ -2,6 +2,7 @@
 naive numpy implementations (SURVEY.md §4 plan, item 2)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from prior_flow_tpu.ops import corr as C
@@ -140,6 +141,7 @@ class TestMXULookupParity:
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-5)
         np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=5e-5)
 
+    @pytest.mark.slow  # interpret-mode Pallas on CPU: tens of seconds
     def test_pallas_fused_equals_two_mxu_calls(self, rng):
         """DCCLFused (gather kernel, interpret mode on CPU) must match the
         two-call mxu DCCL for BOTH branches."""
@@ -175,6 +177,7 @@ class TestMXULookupParity:
                 np.testing.assert_allclose(np.asarray(fcB), np.asarray(cB),
                                            atol=5e-5)
 
+    @pytest.mark.slow  # interpret-mode Pallas VJP on CPU
     def test_pallas_grid_kernel_vjp_matches_autodiff(self, rng):
         """Volume gradients through DCCLFused with the in-kernel grid-window
         sampling (the production training path: grid_in_kernel default) must
@@ -221,6 +224,7 @@ class TestMXULookupParity:
         np.testing.assert_allclose(np.asarray(gA), np.asarray(rA), atol=2e-4)
         np.testing.assert_allclose(np.asarray(gB), np.asarray(rB), atol=2e-4)
 
+    @pytest.mark.slow  # interpret-mode Pallas VJP on CPU
     def test_pallas_fused_vjp_matches_autodiff(self, rng):
         """The custom VJP of the fused kernel (volume grads) must match
         autodiff through the differentiable mxu formulation."""
@@ -272,6 +276,7 @@ class TestMXULookupParity:
         np.testing.assert_allclose(a, b, atol=5e-5)
 
 
+@pytest.mark.slow  # interpret-mode Pallas all-levels kernel on CPU
 class TestFusedLevels:
     """The all-levels single-launch kernel (DCCLFused(fuse_levels=True),
     ops/pallas/dccl_gather.py::_dccl_grid_kernel_all) must match the

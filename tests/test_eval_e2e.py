@@ -12,6 +12,8 @@ from prior_flow_tpu.models import PriOrRAFT
 
 from test_data import _make_mpf_tree
 
+pytestmark = pytest.mark.slow  # e2e/oracle tier: run with -m slow
+
 H, W = 64, 128
 
 

@@ -10,6 +10,8 @@ import pytest
 from prior_flow_tpu.data import augmentor, frame_utils
 from test_datasets_all import H, W, _flo, _img
 
+pytestmark = pytest.mark.slow  # e2e/oracle tier: run with -m slow
+
 
 @pytest.fixture(scope="module")
 def tiny_model():

@@ -20,8 +20,11 @@ import pytest
 
 REF = "/root/reference/PriOr-RAFT"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference tree not available")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF),
+                       reason="reference tree not available"),
+    pytest.mark.slow,  # torch-oracle tier: run with -m slow
+]
 
 
 @pytest.fixture(scope="module")

@@ -14,6 +14,8 @@ from prior_flow_tpu.train.trainer import Trainer, TrainerConfig
 
 from test_data import _make_mpf_tree
 
+pytestmark = pytest.mark.slow  # e2e/oracle tier: run with -m slow
+
 
 H, W = 64, 128
 
