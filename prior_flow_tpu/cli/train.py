@@ -53,6 +53,9 @@ def build_parser():
                              "backward recompute)")
 
     parser.add_argument("--iters", type=int, default=12)
+    parser.add_argument("--val_freq", type=int, default=5000,
+                        help="checkpoint + validate every N steps "
+                             "(reference VAL_FREQ, train_flow.py:48)")
     parser.add_argument("--wdecay", type=float, default=5e-5)
     parser.add_argument("--epsilon", type=float, default=1e-8)
     parser.add_argument("--clip", type=float, default=1.0)
@@ -100,7 +103,7 @@ def main(argv=None):
         mixed_precision=args.mixed_precision, dropout=args.dropout,
         save_path=args.save_path, restore_ckpt=args.restore_ckpt,
         validation=tuple(args.validation), seed=args.seed,
-        data_root=args.data_root,
+        data_root=args.data_root, val_freq=args.val_freq,
     )
 
     model = PriOrRAFT(dropout=cfg.dropout,

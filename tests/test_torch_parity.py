@@ -316,6 +316,15 @@ class TestModelParity:
 
         epe_ref, sepe_ref = protocol(ref_flow)
         epe_ours, sepe_ours = protocol(ours)
+        # always print the measured protocol metrics (run with -s): the
+        # recorded deltas are the committed evidence for BASELINE.md's
+        # substitute-oracle section
+        print(f"\n[parity oracle] EPE  ref {epe_ref:.6f}  ours "
+              f"{epe_ours:.6f}  rel delta "
+              f"{abs(epe_ours - epe_ref) / (epe_ref + 1e-9):.3%}")
+        print(f"[parity oracle] SEPE ref {sepe_ref:.8f}  ours "
+              f"{sepe_ours:.8f}  rel delta "
+              f"{abs(sepe_ours - sepe_ref) / (sepe_ref + 1e-9):.3%}")
         assert abs(epe_ours - epe_ref) / (epe_ref + 1e-9) < 0.01, (
             f"EPE {epe_ours:.5f} vs ref {epe_ref:.5f}")
         assert abs(sepe_ours - sepe_ref) / (sepe_ref + 1e-9) < 0.01, (
