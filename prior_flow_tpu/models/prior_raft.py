@@ -262,18 +262,29 @@ class PriOrRAFT(nn.Module):
                                                      self.corr_levels))
             pyr_B = tuple(DCCLOnTheFly.build_pyramid(fmap1_B, fmap2_B,
                                                      self.corr_levels))
+        elif H * W // 64 > 16384:
+            # large volumes (above 724x1448-class shapes): chunked build —
+            # the dense f32 volume + f32 pyramid would exceed HBM before
+            # the bf16 cast (ops/corr.py::build_pyramid_lean; bit-exact
+            # per level vs the dense path). Makes corr_mode='volume', and
+            # with it the fast Pallas lookup, reachable at 1024x2048.
+            from ..ops.corr import build_pyramid_lean
+            pyr_A = tuple(build_pyramid_lean(fmap1_A, fmap2_A,
+                                             self.corr_levels, corr_dtype))
+            pyr_B = tuple(build_pyramid_lean(fmap1_B, fmap2_B,
+                                             self.corr_levels, corr_dtype))
         else:
             pyr_A = tuple(p.astype(corr_dtype) for p in build_pyramid(
                 all_pairs_correlation(fmap1_A, fmap2_A), self.corr_levels))
             pyr_B = tuple(p.astype(corr_dtype) for p in build_pyramid(
                 all_pairs_correlation(fmap1_B, fmap2_B), self.corr_levels))
-            if isinstance(self._dccl, DCCLFused):
-                # pack for the gather kernel ONCE, outside the GRU scan —
-                # repacking inside the scan would copy every tile-padded
-                # level each iteration (ops/pallas/dccl_gather.pack_volume)
-                from ..ops.pallas.dccl_gather import pack_volume
-                pyr_A = tuple(pack_volume(p) for p in pyr_A)
-                pyr_B = tuple(pack_volume(p) for p in pyr_B)
+        if self.corr_mode != "onthefly" and isinstance(self._dccl, DCCLFused):
+            # pack for the gather kernel ONCE, outside the GRU scan —
+            # repacking inside the scan would copy every tile-padded
+            # level each iteration (ops/pallas/dccl_gather.pack_volume)
+            from ..ops.pallas.dccl_gather import pack_volume
+            pyr_A = tuple(pack_volume(p) for p in pyr_A)
+            pyr_B = tuple(pack_volume(p) for p in pyr_B)
 
         # flow initialisation (prior_raft.py:161-165)
         h8, w8 = H // 8, W // 8

@@ -79,6 +79,49 @@ def build_pyramid(volume, num_levels=4) -> List[jnp.ndarray]:
     return pyr
 
 
+def build_pyramid_lean(fmap1, fmap2, num_levels: int = 4,
+                       dtype=jnp.bfloat16, q_chunk: int = 4096):
+    """``build_pyramid(all_pairs_correlation(f1, f2))`` cast to ``dtype``,
+    built in query chunks so the full O(Q^2) float32 volume never
+    materialises.
+
+    At 1024x2048 (Q = 32768) the dense build needs a 4.3 GB f32 volume
+    plus a 5.7 GB f32 pyramid PER BRANCH before the bf16 cast — it OOMs a
+    16 GB chip (docs/ARCHITECTURE.md §Scale story). Per chunk this computes
+    one (q_chunk, Q) f32 MXU dot, pools every pyramid level in f32
+    (pooling is over the TARGET axes only, core/corr.py:107-109, so it
+    commutes with query chunking), casts, and writes into the
+    preallocated ``dtype`` levels: peak extra f32 is one chunk's pyramid
+    (~0.7 GB at q_chunk=4096) and the result equals the dense path's
+    level-by-level cast BIT-EXACTLY. Enables corr_mode='volume' — and with
+    it the fast Pallas lookup — at resolutions the dense build cannot
+    reach.
+    """
+    B, H, W, C = fmap1.shape
+    Q = H * W
+    a = fmap1.reshape(B, Q, C)
+    b = fmap2.reshape(B, Q, C)
+    q_chunk = min(q_chunk, Q)
+    assert Q % q_chunk == 0, (Q, q_chunk)
+
+    levels = [
+        jnp.zeros((B, Q, H // (2 ** i), W // (2 ** i)), dtype)
+        for i in range(num_levels)
+    ]
+    for q0 in range(0, Q, q_chunk):
+        vol = jax.lax.dot_general(
+            jax.lax.dynamic_slice_in_dim(a, q0, q_chunk, axis=1), b,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(B, q_chunk, H, W) / jnp.sqrt(jnp.float32(C))
+        for i in range(num_levels):
+            levels[i] = jax.lax.dynamic_update_slice_in_dim(
+                levels[i], vol.astype(dtype), q0, axis=1)
+            if i + 1 < num_levels:
+                vol = avg_pool2(vol)
+    return levels
+
+
 def _window_delta(radius: int) -> np.ndarray:
     """(K, 2) window offsets with the reference's (dy, dx)->(x, y) pairing.
 

@@ -40,6 +40,25 @@ class TestPyramid:
             (1, 5, 16, 32), (1, 5, 8, 16), (1, 5, 4, 8), (1, 5, 2, 4)]
 
 
+class TestLeanPyramid:
+    def test_matches_dense_build_bitexact(self, rng):
+        """Chunked large-resolution build (ops/corr.py::build_pyramid_lean)
+        must equal dense build_pyramid(all_pairs(...)) cast per level —
+        pooling is per-query, so query chunking commutes with it."""
+        import jax
+        B, h, w, ch = 2, 8, 16, 32
+        f1 = jnp.asarray(rng.normal(size=(B, h, w, ch)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(B, h, w, ch)).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            dense = [p.astype(jnp.bfloat16) for p in C.build_pyramid(
+                C.all_pairs_correlation(f1, f2), 4)]
+            lean = C.build_pyramid_lean(f1, f2, 4, jnp.bfloat16, q_chunk=32)
+        assert len(lean) == 4
+        for d, l in zip(dense, lean):
+            assert l.dtype == jnp.bfloat16
+            np.testing.assert_array_equal(np.asarray(d), np.asarray(l))
+
+
 class TestWindowDelta:
     def test_reference_tap_ordering(self):
         """Tap k = i*(2r+1)+j must carry x-offset i-r and y-offset j-r

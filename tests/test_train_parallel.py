@@ -163,6 +163,41 @@ class TestSpatialSharding:
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
 
 
+    @pytest.mark.slow  # production-shape compile on the 1-core CPU mesh
+    def test_2d_mesh_production_shape_forward(self):
+        """Spatial sharding at a production-class shape (256x512: h/8 = 32
+        rows -> 8 rows per 'space' device, so the conv halo exchange moves
+        real interior rows, not the 2-row slivers of the 64x128 case).
+        Forward-only (the full train step at this shape does not fit a
+        10-min CPU budget); sharded forward must equal single-device.
+        VERDICT round-3 weak-item #7."""
+        from prior_flow_tpu.parallel.mesh import (make_mesh_2d, replicated,
+                                                  spatial_batch_sharding)
+
+        Hp, Wp = 256, 512
+        rng = np.random.default_rng(7)
+        img1 = jnp.asarray(rng.uniform(0, 255, (2, Hp, Wp, 3)
+                                       ).astype(np.float32))
+        img2 = jnp.asarray(rng.uniform(0, 255, (2, Hp, Wp, 3)
+                                       ).astype(np.float32))
+        model = PriOrRAFT(precision="highest")
+        variables = model.init(jax.random.PRNGKey(0), img1[:1], img2[:1],
+                               iters=1)
+        ref = jax.jit(lambda v, a, b: model.apply(
+            v, a, b, iters=2, test_mode=True))(variables, img1, img2)
+
+        mesh = make_mesh_2d(2, 4)
+        rep = replicated(mesh)
+        bsh = spatial_batch_sharding(mesh)
+        f = jax.jit(lambda v, a, b: model.apply(
+            v, a, b, iters=2, test_mode=True),
+            in_shardings=(rep, bsh, bsh), out_shardings=bsh)
+        out = f(jax.device_put(variables, rep),
+                jax.device_put(img1, bsh), jax.device_put(img2, bsh))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+
 class TestScaleOnTheFly:
     def test_onthefly_spatially_sharded_equals_volume_single_device(self):
         """The scale recipe for resolutions whose materialised cost volume
