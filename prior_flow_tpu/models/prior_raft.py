@@ -114,6 +114,15 @@ class PriOrRAFT(nn.Module):
     # (reference core/corr.py:64-91) for resolutions whose volume exceeds
     # HBM.
     corr_mode: str = "volume"
+    # Deferred volume gradients (training only): record every iteration's
+    # lookup in a no-grad pass, re-bind the taps to the volumes through ONE
+    # stacked-scatter custom VJP (ops/pallas/dccl_gather.py::
+    # dccl_deferred_rebind), and replay the GRU scan with the taps as
+    # scanned inputs. Mathematically identical gradients (the lookup is
+    # linear in the volume and coords are stop_gradiented each iteration);
+    # turns 12 accumulated volume-shaped scatters per branch/level into
+    # one. Requires the DCCLFused volume path with static rotation grids.
+    deferred_vol_grad: bool = False
 
     def setup(self):
         dtype = jnp.bfloat16 if self.mixed_precision else None
@@ -142,10 +151,17 @@ class PriOrRAFT(nn.Module):
                               lookup_mode=mode)
 
     # -- one GRU iteration (reference core/prior_raft.py:170-211) ----------
-    def _step_core(self, carry, consts: StepConsts):
+    def _step_core(self, carry, consts: StepConsts, taps=None,
+                   record: bool = False):
         """Shared iteration body; returns the new carry plus the two
         upsample masks (upsampling itself is the caller's choice — the
-        test-mode scan defers it to after the loop)."""
+        test-mode scan defers it to after the loop).
+
+        ``taps``/``record`` drive the deferred volume-gradient path
+        (see ``_forward``): with ``record=True`` the DCCL lookup runs
+        primal-only and the step additionally returns the scatter tape;
+        with ``taps=(corr_A, corr_B)`` the lookup is skipped entirely and
+        the provided (rebound) taps are consumed instead."""
         net_A, net_B, coords1_A, coords1_B = carry
         c = consts
 
@@ -170,21 +186,33 @@ class PriOrRAFT(nn.Module):
         warped_fmap2_B_A = cycle_bilinear_sample(c.fmap2_A, coords1_B_A)
         flaw_B_A = groupwise_corr(c.fmap1_A, warped_fmap2_B_A, num_groups=4)
 
-        if isinstance(self._dccl, DCCLFused):
-            corr_A, corr_B_A, corr_B, corr_A_B = self._dccl(
+        tape = None
+        if taps is not None:
+            # deferred replay: the rebound taps ARE the summed own+cross
+            # fields — no lookup runs inside this scan at all (the scan
+            # saves its xs, so no checkpoint_name is needed either)
+            corr_A, corr_B = taps
+        elif record:
+            (corr_A, corr_B), tape = self._dccl.record(
                 coords1_A, coords1_B, c.pyr_A, c.pyr_B,
                 g8.a2b_w2c_8, g8.b2a_w2c_8, g8.a2b_8, g8.b2a_8)
+            tape = ((corr_A, corr_B), tape)
         else:
-            corr_A, corr_B_A = self._dccl(coords1_A, c.pyr_A, c.pyr_B,
-                                          g8.a2b_w2c_8, g8.b2a_8)
-            corr_B, corr_A_B = self._dccl(coords1_B, c.pyr_B, c.pyr_A,
-                                          g8.b2a_w2c_8, g8.a2b_8)
-        # name the lookup results so the remat policy keeps them: DCCL is
-        # ~80% of forward time (docs/ARCHITECTURE.md §3) and its inputs are
-        # stop_gradiented coords, so saving ~85 MB/iteration avoids the most
-        # expensive recomputation in the backward pass
-        corr_A = checkpoint_name(corr_A + corr_B_A, "dccl_corr")
-        corr_B = checkpoint_name(corr_B + corr_A_B, "dccl_corr")
+            if isinstance(self._dccl, DCCLFused):
+                corr_A, corr_B_A, corr_B, corr_A_B = self._dccl(
+                    coords1_A, coords1_B, c.pyr_A, c.pyr_B,
+                    g8.a2b_w2c_8, g8.b2a_w2c_8, g8.a2b_8, g8.b2a_8)
+            else:
+                corr_A, corr_B_A = self._dccl(coords1_A, c.pyr_A, c.pyr_B,
+                                              g8.a2b_w2c_8, g8.b2a_8)
+                corr_B, corr_A_B = self._dccl(coords1_B, c.pyr_B, c.pyr_A,
+                                              g8.b2a_w2c_8, g8.a2b_8)
+            # name the lookup results so the remat policy keeps them: DCCL
+            # is ~80% of forward time (docs/ARCHITECTURE.md §3) and its
+            # inputs are stop_gradiented coords, so saving ~85 MB/iteration
+            # avoids the most expensive recomputation in the backward pass
+            corr_A = checkpoint_name(corr_A + corr_B_A, "dccl_corr")
+            corr_B = checkpoint_name(corr_B + corr_A_B, "dccl_corr")
 
         net_A, up_mask_A, delta_flow_A = self.ODDC(
             net_A, c.inp_A, flow_A, corr_A, flaw_A, flow_B_A, flaw_B_A)
@@ -195,13 +223,32 @@ class PriOrRAFT(nn.Module):
         coords1_B = coords1_B + delta_flow_B
 
         return ((net_A, net_B, coords1_A, coords1_B),
-                (up_mask_A, up_mask_B))
+                (up_mask_A, up_mask_B), tape)
 
     def _step(self, carry, consts: StepConsts):
         """Training/eval step: per-iteration convex upsampling of both
         branches (the reference appends both upsampled predictions every
         iteration, core/prior_raft.py:199-211)."""
-        carry, (up_mask_A, up_mask_B) = self._step_core(carry, consts)
+        carry, (up_mask_A, up_mask_B), _ = self._step_core(carry, consts)
+        _, _, coords1_A, coords1_B = carry
+        flow_up_A = upsample_flow_convex(coords1_A - consts.coords0, up_mask_A)
+        flow_up_B = upsample_flow_convex(coords1_B - consts.coords0, up_mask_B)
+        return carry, (flow_up_A, flow_up_B)
+
+    def _step_record(self, carry, consts: StepConsts):
+        """Deferred-path recording step: identical recurrence through a
+        primal-only lookup; ys are the scatter tape (the summed corr
+        fields, the query coords, and the kernel-emitted cross tap
+        planes). The upsample masks are dead here — XLA DCEs both mask
+        heads."""
+        carry, _, tape = self._step_core(carry, consts, record=True)
+        return carry, tape
+
+    def _step_replay(self, carry, taps, consts: StepConsts):
+        """Deferred-path differentiable step: consumes one iteration's
+        rebound taps (scanned xs) instead of running the lookup."""
+        carry, (up_mask_A, up_mask_B), _ = self._step_core(
+            carry, consts, taps=taps)
         _, _, coords1_A, coords1_B = carry
         flow_up_A = upsample_flow_convex(coords1_A - consts.coords0, up_mask_A)
         flow_up_B = upsample_flow_convex(coords1_B - consts.coords0, up_mask_B)
@@ -215,7 +262,7 @@ class PriOrRAFT(nn.Module):
         (test_mode, core/prior_raft.py:212-213) with 12x less upsample work
         and no (iters, B, H, W, 2) prediction stacks; branch B's dead mask
         head is DCE'd by XLA."""
-        core, (up_mask_A, _) = self._step_core(carry[:4], consts)
+        core, (up_mask_A, _), _ = self._step_core(carry[:4], consts)
         return core + (up_mask_A,), ()
 
     def __call__(self, image1, image2, iters: int = 12,
@@ -305,26 +352,16 @@ class PriOrRAFT(nn.Module):
         )
         carry0 = (net_A, net_B, coords1_A, coords1_B)
 
+        use_deferred = (self.deferred_vol_grad and not test_mode
+                        and isinstance(self._dccl, DCCLFused)
+                        and self.corr_mode != "onthefly")
+        if use_deferred:
+            return self._forward_deferred(carry0, consts, iters, H, W)
+
         step = PriOrRAFT._step_test if test_mode else PriOrRAFT._step
         if self.remat:
-            if self.remat_policy == "dots":
-                # save every conv/matmul result, recompute elementwise ops:
-                # trades ~2-4 GB of per-iteration activations for skipping
-                # the full forward replay in the backward pass. The Pallas
-                # lookup outputs/residuals are NOT dots — keep them saved
-                # too or the kernels replay anyway.
-                policy = jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_saveable,
-                    jax.checkpoint_policies.save_only_these_names(
-                        "dccl_corr", "dccl_coords"))
-            else:
-                # dccl_corr: the lookup results (largest recompute);
-                # dccl_coords: the kernel VJP's residual tap coords —
-                # saving them stops the backward from replaying the whole
-                # Pallas kernel to regenerate residuals
-                policy = jax.checkpoint_policies.save_only_these_names(
-                    "dccl_corr", "dccl_coords")
-            step = nn.remat(step, prevent_cse=False, policy=policy)
+            step = nn.remat(step, prevent_cse=False,
+                            policy=self._remat_policy())
         scan = nn.scan(
             step,
             variable_broadcast="params",
@@ -342,4 +379,78 @@ class PriOrRAFT(nn.Module):
             _, _, coords1_A, _, up_mask_A = carry
             return upsample_flow_convex(coords1_A - coords0, up_mask_A)
         _, (preds_A, preds_B) = scan(self, carry0, consts)
+        return preds_A, preds_B
+
+    def _remat_policy(self):
+        if self.remat_policy == "dots":
+            # save every conv/matmul result, recompute elementwise ops:
+            # trades ~2-4 GB of per-iteration activations for skipping
+            # the full forward replay in the backward pass. The Pallas
+            # lookup outputs/residuals are NOT dots — keep them saved
+            # too or the kernels replay anyway.
+            return jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "dccl_corr", "dccl_coords"))
+        # dccl_corr: the lookup results (largest recompute);
+        # dccl_coords: the kernel VJP's residual tap coords — saving them
+        # stops the backward from replaying the whole Pallas kernel to
+        # regenerate residuals
+        return jax.checkpoint_policies.save_only_these_names(
+            "dccl_corr", "dccl_coords")
+
+    def _forward_deferred(self, carry0, consts: StepConsts, iters, H, W):
+        """Training forward with deferred volume gradients.
+
+        Three stages (see dccl_gather.py §deferred cross-iteration volume
+        grads): (1) a no-grad recording scan runs the full recurrence
+        through primal-only lookups and tapes every iteration's summed
+        corr fields + tap coords; (2) ``dccl_deferred_rebind`` re-binds
+        the taped taps to the LIVE volume pyramids — identity forward, one
+        stacked scatter per level/branch backward; (3) the differentiable
+        replay scan consumes the rebound taps as scanned xs (no lookups
+        inside). Gradients are mathematically identical to the standard
+        path: the lookup is linear in the volume and the query coords are
+        stop_gradiented each iteration (core/prior_raft.py:171), so the
+        trajectory carries no volume gradient."""
+        from ..ops.pallas.dccl_gather import dccl_deferred_rebind
+
+        sg = jax.lax.stop_gradient
+        rec_scan = nn.scan(
+            PriOrRAFT._step_record,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=iters,
+        )
+        _, tape = rec_scan(self, sg(carry0),
+                           jax.tree_util.tree_map(sg, consts))
+        # stop_gradient the whole tape so the rebind's zero cotangents for
+        # it die here instead of transposing the recording scan
+        (recA, recB), (cenA, cenB, planes) = sg(tape)
+
+        g = gridlib.rotation_grids(H, W)
+        scales = [1.0 / (2.0 ** i) for i in range(self.corr_levels)]
+        tapsA, tapsB = dccl_deferred_rebind(
+            consts.pyr_A, consts.pyr_B, recA, recB, cenA, cenB, planes,
+            g.a2b_8, g.b2a_8, scales)
+
+        step = PriOrRAFT._step_replay
+        if self.remat:
+            step = nn.remat(step, prevent_cse=False,
+                            policy=self._remat_policy())
+        # the replay never touches the pyramids — drop them from its
+        # consts so the scan carries no dead broadcast operands
+        replay_consts = consts._replace(pyr_A=(), pyr_B=())
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0, nn.broadcast),
+            out_axes=0,
+            length=iters,
+        )
+        _, (preds_A, preds_B) = scan(self, carry0, (tapsA, tapsB),
+                                     replay_consts)
         return preds_A, preds_B

@@ -512,6 +512,65 @@ class DCCLFused:
         return self._finish(ownA_out, crossA_out, ownB_out, crossB_out,
                             back_rot, a2b_8, b2a_8)
 
+    def record(self, coords_A, coords_B, pyr_A: Sequence, pyr_B: Sequence,
+               a2b_w2c_8, b2a_w2c_8, a2b_8, b2a_8):
+        """Primal-only lookup that ALSO returns the deferred-scatter tape.
+
+        Same per-level semantics as ``__call__`` (grid-in-kernel path) but
+        with no VJP: callers run this inside the no-grad recording scan of
+        the deferred volume-gradient path (models/prior_raft.py,
+        ``deferred_vol_grad``), then re-bind the recorded taps to the live
+        volumes through ``dccl_deferred_rebind``.
+
+        Returns ``((corr_A, corr_B), (cen_A, cen_B, planes))`` where
+        corr_* are the SUMMED own+back-rotated-cross fields
+        (B, h1, w1, L*81) f32 — exactly what the model step consumes —
+        cen_* are the unscaled query coords (B, Q, 2), and planes is a
+        per-level tuple of the kernel-emitted cross tap coord planes
+        (cAx, cAy, cBx, cBy), each (B*Q, 128).
+        """
+        from .pallas.dccl_gather import dccl_lookup_grid_record, pack_volume
+
+        B, h1, w1, _ = coords_A.shape
+        Q = h1 * w1
+        cqA = coords_A.reshape(B, Q, 2)
+        cqB = coords_B.reshape(B, Q, 2)
+        gridA = jnp.asarray(a2b_w2c_8)
+        gridB = jnp.asarray(b2a_w2c_8)
+        gridA3 = gridA[0] if gridA.ndim == 4 else gridA
+        gridB3 = gridB[0] if gridB.ndim == 4 else gridB
+        if not (is_static(a2b_8) and is_static(b2a_8)):
+            raise ValueError("deferred DCCL recording requires static "
+                             "back-rotation grids (host-cached constants)")
+        if not (self.grid_in_kernel and gridA3.shape[1] <= 128):
+            raise ValueError("deferred DCCL recording requires the "
+                             "grid-in-kernel lookup path")
+        interpret = jax.default_backend() != "tpu"
+
+        ownA_out, crossA_out, ownB_out, crossB_out = [], [], [], []
+        planes = []
+        for i in range(self.num_levels):
+            if isinstance(pyr_A[i], tuple):
+                pA, mA = pyr_A[i]
+                pB, _ = pyr_B[i]
+            else:
+                pA, mA = pack_volume(pyr_A[i])
+                pB, _ = pack_volume(pyr_B[i])
+            (ownA, crossA_v, ownB, crossB_v), pl4 = dccl_lookup_grid_record(
+                pA, pB, mA, cqA, cqB, gridA3, gridB3,
+                1.0 / (2.0 ** i), interpret)
+            ownA_out.append(ownA.reshape(B, h1, w1, -1))
+            ownB_out.append(ownB.reshape(B, h1, w1, -1))
+            crossA_out.append(crossA_v.reshape(B, h1, w1, -1))
+            crossB_out.append(crossB_v.reshape(B, h1, w1, -1))
+            planes.append(pl4)
+
+        own_A, cross_A, own_B, cross_B = self._finish(
+            ownA_out, crossA_out, ownB_out, crossB_out,
+            resample_static, a2b_8, b2a_8)
+        return ((own_A + cross_A, own_B + cross_B),
+                (cqA, cqB, tuple(planes)))
+
     @staticmethod
     def _finish(ownA_out, crossA_out, ownB_out, crossB_out, back_rot,
                 a2b_8, b2a_8):

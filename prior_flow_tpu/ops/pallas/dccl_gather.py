@@ -885,6 +885,234 @@ dccl_packed_lookup_grid_all.defvjp(_packed_grid_all_fwd,
                                    _packed_grid_all_bwd)
 
 
+# ------------------- deferred cross-iteration volume grads -----------------
+#
+# The GRU scan's per-iteration DCCL backward materialises a volume-shaped
+# cotangent (B, Q, Hl, Wl) per branch per level per ITERATION and the scan
+# transpose accumulates them — at 512x1024 batch 4 that is ~12x2x0.7 GB of
+# HBM writes plus K=81 one-hot einsums too small to feed the MXU well. But
+# the lookup is LINEAR in the volume (coords are stop_gradiented each
+# iteration, reference core/prior_raft.py:171), so the total volume
+# cotangent is one big scatter over ALL iterations' taps:
+#
+#   d_vol = sum_s S_s^T g_s            (S_s = iteration s's sampling matrix)
+#
+# The deferred path (models/prior_raft.py, deferred_vol_grad=True) records
+# every iteration's lookup results + tap coords in a no-grad trajectory
+# pass, re-binds the recorded taps to the volumes through
+# ``dccl_deferred_rebind`` below, and replays the GRU scan with the taps as
+# scanned inputs. The rebind's custom VJP then runs ONE stacked scatter per
+# level/branch with contraction size S*81 (= 972 at 12 iterations) instead
+# of 12 accumulated K=81 scatters: volume-shaped intermediates materialise
+# once, and the one-hot contraction is long enough to keep the MXU busy.
+
+# transient one-hot field budget for the stacked scatters (bytes); the Q
+# axis is chunked so S*B*qc*K*(Hl + 2*Wl) field elements stay under it
+DEFERRED_SCATTER_BUDGET = int(os.environ.get(
+    "PRIORFLOW_DEFERRED_SCATTER_BUDGET", str(512 * 1024 * 1024)))
+
+
+def dccl_lookup_grid_record(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
+                            level_scale: float = 1.0,
+                            interpret: bool = False):
+    """Primal-only grid-fused lookup that ALSO returns the kernel-emitted
+    cross tap coords (for the deferred scatter). No VJP — callers run this
+    under ``stop_gradient`` in the recording pass.
+
+    Returns ``((own_A, cross_A, own_B, cross_B), (cAx, cAy, cBx, cBy))``
+    with corr outputs (B, Q, 81) f32 and coord planes (B*Q, 128) f32 in the
+    kernel's padded layout."""
+    outs = _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
+                               level_scale, interpret, emit_coords=True)
+    B, Q = cen_A.shape[:2]
+    corr = tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs[:4])
+    return corr, tuple(outs[4:])
+
+
+def _chunk_q(Q, per_q_bytes):
+    """Largest power-of-two divisor of Q whose field bytes fit the budget."""
+    qc = 1
+    while qc < Q and Q % (qc * 2) == 0 \
+            and (qc * 2) * per_q_bytes <= DEFERRED_SCATTER_BUDGET:
+        qc *= 2
+    return qc
+
+
+def _scatter_grads_multi(g, tapx, tapy, Hl, Wl, dtype):
+    """Stacked transpose of the cross-tap sampler over S iterations.
+
+    g/tapx/tapy: (S, B, Q, K). Returns (B, Q, Hl, Wl) = the SUM over S of
+    the per-iteration bilinear scatters, computed as one einsum contracting
+    (S*K) — identical weights/coords semantics to ``_scatter_grads``, but
+    the contraction is long enough for the MXU and the volume-shaped output
+    materialises once. Q is chunked to bound the one-hot field transients.
+    """
+    S, B, Q, K = g.shape
+    esz = 2 if dtype == jnp.bfloat16 else 4
+    qc = _chunk_q(Q, S * B * K * (Hl + 2 * Wl) * esz)
+
+    def chunk(gc, xc, yc):
+        x0, x1, fx, _, mx1 = _one_hot_pair(xc, Wl, wrap=True)
+        y0, y1, fy, my0, my1 = _one_hot_pair(yc, Hl, wrap=False)
+        cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, Wl), 4)
+        cols_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, Hl), 4)
+        wx = (jnp.where(cols_w == x0[..., None], (1 - fx)[..., None], 0.0)
+              + jnp.where(cols_w == x1[..., None], (fx * mx1)[..., None],
+                          0.0))
+        wy = (jnp.where(cols_h == y0[..., None],
+                        (my0 * (1 - fy))[..., None], 0.0)
+              + jnp.where(cols_h == y1[..., None],
+                          (my1 * fy)[..., None], 0.0))
+        gwx = wx * gc[..., None]
+        dv = jnp.einsum("sbqkh,sbqkw->bqhw", wy.astype(dtype),
+                        gwx.astype(dtype),
+                        preferred_element_type=jnp.float32)
+        return dv.astype(dtype)
+
+    if qc == Q:
+        return chunk(g, tapx, tapy)
+    out0 = jnp.zeros((B, Q, Hl, Wl), dtype)
+
+    def body(i, out):
+        sl = i * qc
+        sub = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, qc, axis=2)
+        dv = chunk(sub(g), sub(tapx), sub(tapy))
+        return jax.lax.dynamic_update_slice_in_dim(out, dv, sl, axis=1)
+
+    return jax.lax.fori_loop(0, Q // qc, body, out0)
+
+
+def _scatter_grads_window_multi(g, cen, level_scale, Hl, Wl, dtype,
+                                radius=4):
+    """Stacked transpose of the OWN-window sampler over S iterations.
+
+    g: (S, B, Q, K); cen: (S, B, Q, 2) UNSCALED centres. Separable per
+    iteration (the own taps are an axis-aligned window,
+    ``_scatter_grads_window``); the second einsum contracts (S * (2r+1))
+    jointly so the volume-shaped output materialises once.
+    Returns (B, Q, Hl, Wl)."""
+    from ..corr import _window_weights
+
+    n = 2 * radius + 1
+    S, B, Q, K = g.shape
+    esz = 2 if dtype == jnp.bfloat16 else 4
+    qc = _chunk_q(Q, S * B * n * (2 * Hl + Wl + n) * esz)
+
+    def chunk(gc, cc):
+        gij = gc.reshape(S, B, -1, n, n)  # [i (x-tap), j (y-tap)]
+        wx = _window_weights(cc[..., 0] * level_scale, Wl, radius,
+                             wrap=True).astype(dtype)    # (S,B,q,n,Wl)
+        wy = _window_weights(cc[..., 1] * level_scale, Hl, radius,
+                             wrap=False).astype(dtype)   # (S,B,q,n,Hl)
+        tmp = jnp.einsum("sbqjh,sbqij->sbqih", wy, gij.astype(dtype),
+                         preferred_element_type=jnp.float32)
+        dv = jnp.einsum("sbqih,sbqiw->bqhw", tmp.astype(dtype), wx,
+                        preferred_element_type=jnp.float32)
+        return dv.astype(dtype)
+
+    if qc == Q:
+        return chunk(g, cen)
+    out0 = jnp.zeros((B, Q, Hl, Wl), dtype)
+
+    def body(i, out):
+        sl = i * qc
+        sub = lambda a: jax.lax.dynamic_slice_in_dim(a, sl, qc, axis=2)
+        dv = chunk(sub(g), sub(cen))
+        return jax.lax.dynamic_update_slice_in_dim(out, dv, sl, axis=1)
+
+    return jax.lax.fori_loop(0, Q // qc, body, out0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _rebind(planTA, planTB, scales, pyrA, pyrB, taps_A, taps_B,
+            cen_A, cen_B, planes):
+    """Identity on the recorded taps; gradients flow to the volumes only.
+
+    planTA/planTB: ``static_resample.transpose_plan`` objects (identity-
+    hashed) for branch A's / B's cross back-rotations (grids b2a_8 / a2b_8);
+    scales: static per-level centre scales. pyrA/pyrB: tuples of
+    (packed, meta) per level; taps_*: (S, B, h1, w1, L*81) f32 recorded
+    own+cross sums; cen_*: (S, B, Q, 2); planes: per-level tuples of
+    (cAx, cAy, cBx, cBy) coord planes (S, B*Q, 128)."""
+    return taps_A, taps_B
+
+
+def _rebind_fwd(planTA, planTB, scales, pyrA, pyrB, taps_A, taps_B,
+                cen_A, cen_B, planes):
+    metas = tuple(m for _, m in pyrA)
+    res = (metas, cen_A, cen_B, planes)
+    return (taps_A, taps_B), res
+
+
+def _rebind_bwd(planTA, planTB, scales, res, cts):
+    from ..static_resample import apply_transpose
+
+    metas, cen_A, cen_B, planes = res
+    gA, gB = cts                       # (S, B, h1, w1, L*81) f32
+    S, B, h1, w1, _ = gA.shape
+    Q = h1 * w1
+    L = len(metas)
+    # transpose of the cross back-rotation (resample_static in _finish):
+    # own and cross were SUMMED, so both read the same output cotangent
+    flat = lambda g: g.reshape(S * B, h1, w1, -1)
+    gA_cross = apply_transpose(planTA, flat(gA)).reshape(S, B, Q, -1)
+    gB_cross = apply_transpose(planTB, flat(gB)).reshape(S, B, Q, -1)
+    gA_own = gA.reshape(S, B, Q, -1)
+    gB_own = gB.reshape(S, B, Q, -1)
+
+    d_pA, d_pB = [], []
+    for l in range(L):
+        _, Hl, Wl = metas[l].shape
+        dt = metas[l].dtype
+        cAx, cAy, cBx, cBy = (
+            p[:, :, :NTAP].reshape(S, B, Q, NTAP) for p in planes[l])
+        sl = slice(l * NTAP, (l + 1) * NTAP)
+        d_pA.append(_repack(
+            _scatter_grads_window_multi(gA_own[..., sl], cen_A, scales[l],
+                                        Hl, Wl, dt)
+            + _scatter_grads_multi(gB_cross[..., sl], cBx, cBy, Hl, Wl, dt)))
+        d_pB.append(_repack(
+            _scatter_grads_window_multi(gB_own[..., sl], cen_B, scales[l],
+                                        Hl, Wl, dt)
+            + _scatter_grads_multi(gA_cross[..., sl], cAx, cAy, Hl, Wl, dt)))
+
+    # cotangents: volumes get the stacked scatters; every recorded input
+    # (taps, centres, coord planes) is upstream of a stop_gradient, so its
+    # cotangent is a dead zero XLA removes
+    d_pyrA = tuple((d_pA[l], jnp.zeros(metas[l].shape, metas[l].dtype))
+                   for l in range(L))
+    d_pyrB = tuple((d_pB[l], jnp.zeros(metas[l].shape, metas[l].dtype))
+                   for l in range(L))
+    d_tapsA = jnp.zeros(gA.shape, jnp.float32)
+    d_tapsB = jnp.zeros(gB.shape, jnp.float32)
+    d_cenA = jnp.zeros(cen_A.shape, cen_A.dtype)
+    d_cenB = jnp.zeros(cen_B.shape, cen_B.dtype)
+    d_planes = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, p.dtype), planes)
+    return (d_pyrA, d_pyrB, d_tapsA, d_tapsB, d_cenA, d_cenB, d_planes)
+
+
+_rebind.defvjp(_rebind_fwd, _rebind_bwd)
+
+
+def dccl_deferred_rebind(pyr_A, pyr_B, taps_A, taps_B, cen_A, cen_B,
+                         planes, a2b_8, b2a_8, scales):
+    """Re-bind no-grad recorded DCCL taps to the packed volumes.
+
+    Forward: identity on ``taps_A``/``taps_B``. Backward: ONE stacked
+    scatter per level/branch over all S iterations (see the section
+    comment). ``a2b_8``/``b2a_8`` are the HOST-constant rotation grids the
+    recording pass back-rotated with."""
+    from ..static_resample import transpose_plan
+
+    h1, w1 = taps_A.shape[2:4]
+    planTA = transpose_plan(b2a_8, (h1, w1))
+    planTB = transpose_plan(a2b_8, (h1, w1))
+    return _rebind(planTA, planTB, tuple(float(s) for s in scales),
+                   tuple(pyr_A), tuple(pyr_B), taps_A, taps_B,
+                   cen_A, cen_B, planes)
+
+
 # --------------------------- 4D convenience API ----------------------------
 
 def dccl_level_lookup(vol_A, vol_B, cen_A, cen_B, cross_A, cross_B,

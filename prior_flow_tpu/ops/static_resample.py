@@ -253,3 +253,23 @@ def resample_static(img, grid, mode: str = "cycle_bilinear"):
         g = g[0]
     plan = _get_plan(g, (img.shape[1], img.shape[2]), mode)
     return _resample(img, plan)
+
+
+def transpose_plan(grid, src_hw, mode: str = "cycle_bilinear") -> _Plan:
+    """The transpose plan of ``resample_static(img, grid)`` as a hashable
+    object (identity-hashed ``_Plan``), for callers that apply the LINEAR
+    transpose of a static resample manually — e.g. the deferred DCCL
+    volume-gradient rebind, whose custom VJP must back-rotate result-field
+    cotangents recorded under ``stop_gradient`` (so autodiff never sees the
+    forward resample). ``src_hw`` is the (H, W) of the resample's INPUT."""
+    g = np.asarray(grid, np.float32)
+    if g.ndim == 4:
+        g = g[0]
+    return _get_plan(g, tuple(src_hw), mode)
+
+
+def apply_transpose(plan: _Plan, ct):
+    """Apply a ``transpose_plan``: cotangent of the resample OUTPUT
+    (B, *out_shape, C) -> cotangent of its input (B, H, W, C). Identical
+    numerics to the resampler's own VJP (it IS ``_bwd_apply``)."""
+    return _bwd_apply(plan, ct)

@@ -223,3 +223,50 @@ class TestFuseLevelsModelPath:
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow  # interpret-mode Pallas record + replay scans on CPU
+class TestDeferredVolGrad:
+    def test_train_loss_and_grads_match_standard_path(self, monkeypatch):
+        """deferred_vol_grad=True (no-grad recording scan + one stacked
+        rebind scatter + replay scan) must reproduce the standard
+        per-iteration path's training loss and gradients: the lookup is
+        linear in the volume and coords are stop_gradiented per iteration,
+        so deferring the volume cotangent across the scan is exact."""
+        import numpy as np
+
+        from prior_flow_tpu.models import PriOrRAFT
+        from prior_flow_tpu.train.loss import uniform_sequence_loss
+
+        H, W = 32, 64
+        rng = jax.random.PRNGKey(0)
+        img1 = jax.random.uniform(rng, (1, H, W, 3)) * 255.0
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                  (1, H, W, 3)) * 255.0
+        gt = jax.random.normal(jax.random.fold_in(rng, 2), (1, H, W, 2))
+        valid = jnp.ones((1, H, W))
+
+        def run(deferred):
+            model = PriOrRAFT(lookup_mode="pallas", precision="highest",
+                              deferred_vol_grad=deferred)
+            variables = model.init(rng, img1, img2, iters=1)
+
+            def loss_fn(params):
+                others = {k: v for k, v in variables.items()
+                          if k != "params"}
+                preds_A, preds_B = model.apply(
+                    {"params": params, **others}, img1, img2, iters=2,
+                    train=True)
+                la, _ = uniform_sequence_loss(preds_A, gt, valid)
+                lb, _ = uniform_sequence_loss(preds_B, gt, valid)
+                return la + lb
+
+            return jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+
+        l0, g0 = run(False)
+        l1, g1 = run(True)
+        assert float(jnp.abs(l0 - l1)) < 1e-4 * max(1.0, abs(float(l0)))
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)

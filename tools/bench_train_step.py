@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--policy", default="dccl", choices=["dccl", "dots"])
     ap.add_argument("--train-only", action="store_true")
     ap.add_argument("--infer-only", action="store_true")
+    ap.add_argument("--deferred", action="store_true",
+                    help="deferred volume gradients (record + stacked "
+                         "rebind scatter + replay; models/prior_raft.py)")
     args = ap.parse_args()
     rng = jax.random.PRNGKey(0)
 
@@ -72,7 +75,8 @@ def main():
         return
     B = 4
     model = PriOrRAFT(mixed_precision=True, remat=True,
-                      remat_policy=args.policy)
+                      remat_policy=args.policy,
+                      deferred_vol_grad=args.deferred)
     img1 = jax.random.uniform(rng, (B, H, W, 3)) * 255.0
     img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
                               (B, H, W, 3)) * 255.0
@@ -96,7 +100,8 @@ def main():
         _ = float(metrics["train/loss"])
         times.append(time.perf_counter() - t0)
     times.sort()
-    print(f"train step B=4 [{args.policy}]: "
+    tag = args.policy + ("+deferred" if args.deferred else "")
+    print(f"train step B=4 [{tag}]: "
           f"{times[len(times) // 2] * 1e3:.0f} ms "
           f"({B / times[len(times) // 2]:.2f} pairs/s)", flush=True)
 
