@@ -238,9 +238,9 @@ class PriOrRAFT(nn.Module):
     def _step_record(self, carry, consts: StepConsts):
         """Deferred-path recording step: identical recurrence through a
         primal-only lookup; ys are the scatter tape (the summed corr
-        fields, the query coords, and the kernel-emitted cross tap
-        planes). The upsample masks are dead here — XLA DCEs both mask
-        heads."""
+        fields and the query coords — cross tap coords are recomputed in
+        the rebind backward, not taped). The upsample masks are dead here
+        — XLA DCEs both mask heads."""
         carry, _, tape = self._step_core(carry, consts, record=True)
         return carry, tape
 
@@ -304,17 +304,25 @@ class PriOrRAFT(nn.Module):
         # traffic for every per-iteration lookup) while lookups accumulate
         # in f32; full-precision mode keeps f32 storage for parity.
         corr_dtype = jnp.bfloat16 if self.mixed_precision else jnp.float32
+        use_deferred = (self.deferred_vol_grad and not test_mode
+                        and isinstance(self._dccl, DCCLFused)
+                        and self.corr_mode != "onthefly")
         if self.corr_mode == "onthefly":
             pyr_A = tuple(DCCLOnTheFly.build_pyramid(fmap1_A, fmap2_A,
                                                      self.corr_levels))
             pyr_B = tuple(DCCLOnTheFly.build_pyramid(fmap1_B, fmap2_B,
                                                      self.corr_levels))
-        elif H * W // 64 > 16384:
+        elif H * W // 64 > 16384 or (use_deferred
+                                     and corr_dtype == jnp.bfloat16):
             # large volumes (above 724x1448-class shapes): chunked build —
             # the dense f32 volume + f32 pyramid would exceed HBM before
             # the bf16 cast (ops/corr.py::build_pyramid_lean; bit-exact
             # per level vs the dense path). Makes corr_mode='volume', and
             # with it the fast Pallas lookup, reachable at 1024x2048.
+            # Also used by the deferred training path at any size: the
+            # dense build's two coexisting 1 GB f32 temps (volume + pool
+            # reshape) were the margin by which the 512x1024 batch-4
+            # train step overflowed a 16 GB chip.
             from ..ops.corr import build_pyramid_lean
             pyr_A = tuple(build_pyramid_lean(fmap1_A, fmap2_A,
                                              self.corr_levels, corr_dtype))
@@ -352,9 +360,6 @@ class PriOrRAFT(nn.Module):
         )
         carry0 = (net_A, net_B, coords1_A, coords1_B)
 
-        use_deferred = (self.deferred_vol_grad and not test_mode
-                        and isinstance(self._dccl, DCCLFused)
-                        and self.corr_mode != "onthefly")
         if use_deferred:
             return self._forward_deferred(carry0, consts, iters, H, W)
 
@@ -428,13 +433,13 @@ class PriOrRAFT(nn.Module):
                            jax.tree_util.tree_map(sg, consts))
         # stop_gradient the whole tape so the rebind's zero cotangents for
         # it die here instead of transposing the recording scan
-        (recA, recB), (cenA, cenB, planes) = sg(tape)
+        (recA, recB), (cenA, cenB) = sg(tape)
 
         g = gridlib.rotation_grids(H, W)
         scales = [1.0 / (2.0 ** i) for i in range(self.corr_levels)]
         tapsA, tapsB = dccl_deferred_rebind(
-            consts.pyr_A, consts.pyr_B, recA, recB, cenA, cenB, planes,
-            g.a2b_8, g.b2a_8, scales)
+            consts.pyr_A, consts.pyr_B, recA, recB, cenA, cenB,
+            g.a2b_w2c_8, g.b2a_w2c_8, g.a2b_8, g.b2a_8, scales)
 
         step = PriOrRAFT._step_replay
         if self.remat:

@@ -522,12 +522,12 @@ class DCCLFused:
         ``deferred_vol_grad``), then re-bind the recorded taps to the live
         volumes through ``dccl_deferred_rebind``.
 
-        Returns ``((corr_A, corr_B), (cen_A, cen_B, planes))`` where
-        corr_* are the SUMMED own+back-rotated-cross fields
-        (B, h1, w1, L*81) f32 — exactly what the model step consumes —
-        cen_* are the unscaled query coords (B, Q, 2), and planes is a
-        per-level tuple of the kernel-emitted cross tap coord planes
-        (cAx, cAy, cBx, cBy), each (B*Q, 128).
+        Returns ``((corr_A, corr_B), (cen_A, cen_B))`` where corr_* are the
+        SUMMED own+back-rotated-cross fields (B, h1, w1, L*81) f32 —
+        exactly what the model step consumes — and cen_* are the unscaled
+        query coords (B, Q, 2). The deferred backward recomputes the cross
+        tap coords from the centres (dccl_gather.dccl_grid_coords), so no
+        coord planes are taped.
         """
         from .pallas.dccl_gather import dccl_lookup_grid_record, pack_volume
 
@@ -548,7 +548,6 @@ class DCCLFused:
         interpret = jax.default_backend() != "tpu"
 
         ownA_out, crossA_out, ownB_out, crossB_out = [], [], [], []
-        planes = []
         for i in range(self.num_levels):
             if isinstance(pyr_A[i], tuple):
                 pA, mA = pyr_A[i]
@@ -556,20 +555,18 @@ class DCCLFused:
             else:
                 pA, mA = pack_volume(pyr_A[i])
                 pB, _ = pack_volume(pyr_B[i])
-            (ownA, crossA_v, ownB, crossB_v), pl4 = dccl_lookup_grid_record(
+            ownA, crossA_v, ownB, crossB_v = dccl_lookup_grid_record(
                 pA, pB, mA, cqA, cqB, gridA3, gridB3,
                 1.0 / (2.0 ** i), interpret)
             ownA_out.append(ownA.reshape(B, h1, w1, -1))
             ownB_out.append(ownB.reshape(B, h1, w1, -1))
             crossA_out.append(crossA_v.reshape(B, h1, w1, -1))
             crossB_out.append(crossB_v.reshape(B, h1, w1, -1))
-            planes.append(pl4)
 
         own_A, cross_A, own_B, cross_B = self._finish(
             ownA_out, crossA_out, ownB_out, crossB_out,
             resample_static, a2b_8, b2a_8)
-        return ((own_A + cross_A, own_B + cross_B),
-                (cqA, cqB, tuple(planes)))
+        return ((own_A + cross_A, own_B + cross_B), (cqA, cqB))
 
     @staticmethod
     def _finish(ownA_out, crossA_out, ownB_out, crossB_out, back_rot,

@@ -912,21 +912,70 @@ DEFERRED_SCATTER_BUDGET = int(os.environ.get(
     "PRIORFLOW_DEFERRED_SCATTER_BUDGET", str(512 * 1024 * 1024)))
 
 
+def _coords_kernel(cen_ref, g_ref, cx_ref, cy_ref, *, T, Hg, Wg, scale):
+    cx, cy = _grid_window(g_ref[:], cen_ref[:], T, Hg, Wg, scale)
+    cx_ref[:] = cx
+    cy_ref[:] = cy
+
+
+def dccl_grid_coords(cen, gcat, Wg: int, level_scale: float,
+                     interpret: bool = False):
+    """Standalone grid-window tap coords: the lookup kernel's in-kernel
+    ``_grid_window`` stage as its own (coords-only) kernel.
+
+    cen: (N, 2) f32 UNSCALED centres; gcat: ``pack_grid_planes`` output
+    (Hg, 256); Wg: the grid's valid width. Returns (cx, cy) planes
+    (N, 128) f32, slots k = i*9 + j — BIT-IDENTICAL to the planes the
+    lookup kernel emits for the same centres (same op sequence: the
+    one-hot row fetch is an exact f32 select-sum and the blends/gathers
+    are deterministic), so the deferred volume-gradient backward can
+    RECOMPUTE the scatter targets instead of holding S iterations of
+    taped coord planes in HBM (~3.2 GB at 512x1024 batch 4)."""
+    N = cen.shape[0]
+    Hg = gcat.shape[0]
+    # _grid_window's transients (one-hot row matrix, sampled strips, blend
+    # rows) scale with T*10*(Hg + 4*LANES) f32 — T=512 tripped the 16 MB
+    # scoped-VMEM stack limit on v5e, T<=128 leaves 4x headroom (and the
+    # sweeps showed per-grid-step fixed cost is not the binding term)
+    T = 1
+    for t in _TILE_SIZES:
+        if t <= 128 and N % t == 0:
+            T = t
+            break
+    kern = functools.partial(_coords_kernel, T=T, Hg=Hg, Wg=Wg,
+                             scale=float(level_scale))
+    row = lambda q: (q, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(N // T,),
+        in_specs=[
+            pl.BlockSpec((T, 2), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hg, 2 * LANES), lambda q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((T, LANES), row, memory_space=pltpu.VMEM)
+            for _ in range(2)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((N, LANES), jnp.float32) for _ in range(2)),
+        interpret=interpret,
+    )(cen.astype(jnp.float32), gcat)
+
+
 def dccl_lookup_grid_record(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
                             level_scale: float = 1.0,
                             interpret: bool = False):
-    """Primal-only grid-fused lookup that ALSO returns the kernel-emitted
-    cross tap coords (for the deferred scatter). No VJP — callers run this
-    under ``stop_gradient`` in the recording pass.
+    """Primal-only grid-fused lookup for the deferred recording pass. No
+    VJP — callers run this under ``stop_gradient``; the deferred backward
+    RECOMPUTES the cross tap coords from the centres via
+    ``dccl_grid_coords`` (bit-identical), so no coord planes are emitted
+    or taped (saves ~3.2 GB of scan-stacked HBM at 512x1024 batch 4).
 
-    Returns ``((own_A, cross_A, own_B, cross_B), (cAx, cAy, cBx, cBy))``
-    with corr outputs (B, Q, 81) f32 and coord planes (B*Q, 128) f32 in the
-    kernel's padded layout."""
+    Returns ``(own_A, cross_A, own_B, cross_B)``, each (B, Q, 81) f32."""
     outs = _packed_grid_primal(pA, pB, meta_A, cen_A, cen_B, grid_A, grid_B,
-                               level_scale, interpret, emit_coords=True)
+                               level_scale, interpret, emit_coords=False)
     B, Q = cen_A.shape[:2]
-    corr = tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs[:4])
-    return corr, tuple(outs[4:])
+    return tuple(o[:, :NTAP].reshape(B, Q, NTAP) for o in outs)
 
 
 def _chunk_q(Q, per_q_bytes):
@@ -1023,35 +1072,38 @@ def _scatter_grads_window_multi(g, cen, level_scale, Hl, Wl, dtype,
     return jax.lax.fori_loop(0, Q // qc, body, out0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _rebind(planTA, planTB, scales, pyrA, pyrB, taps_A, taps_B,
-            cen_A, cen_B, planes):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _rebind(planTA, planTB, scales, Wg, pyrA, pyrB, taps_A, taps_B,
+            cen_A, cen_B, gcatA, gcatB):
     """Identity on the recorded taps; gradients flow to the volumes only.
 
     planTA/planTB: ``static_resample.transpose_plan`` objects (identity-
     hashed) for branch A's / B's cross back-rotations (grids b2a_8 / a2b_8);
-    scales: static per-level centre scales. pyrA/pyrB: tuples of
-    (packed, meta) per level; taps_*: (S, B, h1, w1, L*81) f32 recorded
-    own+cross sums; cen_*: (S, B, Q, 2); planes: per-level tuples of
-    (cAx, cAy, cBx, cBy) coord planes (S, B*Q, 128)."""
+    scales: static per-level centre scales; Wg: the rotation grids' valid
+    width. pyrA/pyrB: tuples of (packed, meta) per level; taps_*:
+    (S, B, h1, w1, L*81) f32 recorded own+cross sums; cen_*: (S, B, Q, 2);
+    gcatA/gcatB: ``pack_grid_planes`` of the A->B / B->A world-to-camera
+    grids — the backward recomputes the cross tap coords from these via
+    ``dccl_grid_coords`` instead of taping S iterations of coord planes."""
     return taps_A, taps_B
 
 
-def _rebind_fwd(planTA, planTB, scales, pyrA, pyrB, taps_A, taps_B,
-                cen_A, cen_B, planes):
+def _rebind_fwd(planTA, planTB, scales, Wg, pyrA, pyrB, taps_A, taps_B,
+                cen_A, cen_B, gcatA, gcatB):
     metas = tuple(m for _, m in pyrA)
-    res = (metas, cen_A, cen_B, planes)
+    res = (metas, cen_A, cen_B, gcatA, gcatB)
     return (taps_A, taps_B), res
 
 
-def _rebind_bwd(planTA, planTB, scales, res, cts):
+def _rebind_bwd(planTA, planTB, scales, Wg, res, cts):
     from ..static_resample import apply_transpose
 
-    metas, cen_A, cen_B, planes = res
+    metas, cen_A, cen_B, gcatA, gcatB = res
     gA, gB = cts                       # (S, B, h1, w1, L*81) f32
     S, B, h1, w1, _ = gA.shape
     Q = h1 * w1
     L = len(metas)
+    interpret = jax.default_backend() != "tpu"
     # transpose of the cross back-rotation (resample_static in _finish):
     # own and cross were SUMMED, so both read the same output cotangent
     flat = lambda g: g.reshape(S * B, h1, w1, -1)
@@ -1060,57 +1112,76 @@ def _rebind_bwd(planTA, planTB, scales, res, cts):
     gA_own = gA.reshape(S, B, Q, -1)
     gB_own = gB.reshape(S, B, Q, -1)
 
+    cenA_flat = cen_A.reshape(S * B * Q, 2)
+    cenB_flat = cen_B.reshape(S * B * Q, 2)
+    taps4 = lambda p: p[:, :NTAP].reshape(S, B, Q, NTAP)
+
     d_pA, d_pB = [], []
     for l in range(L):
         _, Hl, Wl = metas[l].shape
         dt = metas[l].dtype
-        cAx, cAy, cBx, cBy = (
-            p[:, :, :NTAP].reshape(S, B, Q, NTAP) for p in planes[l])
+        # recompute this level's cross tap coords (bit-identical to the
+        # planes the recording kernel computed: same _grid_window ops)
+        cAx, cAy = dccl_grid_coords(cenA_flat, gcatA, Wg, scales[l],
+                                    interpret)
+        cBx, cBy = dccl_grid_coords(cenB_flat, gcatB, Wg, scales[l],
+                                    interpret)
         sl = slice(l * NTAP, (l + 1) * NTAP)
         d_pA.append(_repack(
             _scatter_grads_window_multi(gA_own[..., sl], cen_A, scales[l],
                                         Hl, Wl, dt)
-            + _scatter_grads_multi(gB_cross[..., sl], cBx, cBy, Hl, Wl, dt)))
+            + _scatter_grads_multi(gB_cross[..., sl], taps4(cBx), taps4(cBy),
+                                   Hl, Wl, dt)))
         d_pB.append(_repack(
             _scatter_grads_window_multi(gB_own[..., sl], cen_B, scales[l],
                                         Hl, Wl, dt)
-            + _scatter_grads_multi(gA_cross[..., sl], cAx, cAy, Hl, Wl, dt)))
+            + _scatter_grads_multi(gA_cross[..., sl], taps4(cAx), taps4(cAy),
+                                   Hl, Wl, dt)))
 
     # cotangents: volumes get the stacked scatters; every recorded input
-    # (taps, centres, coord planes) is upstream of a stop_gradient, so its
+    # (taps, centres, packed grids) is upstream of a stop_gradient, so its
     # cotangent is a dead zero XLA removes
     d_pyrA = tuple((d_pA[l], jnp.zeros(metas[l].shape, metas[l].dtype))
                    for l in range(L))
     d_pyrB = tuple((d_pB[l], jnp.zeros(metas[l].shape, metas[l].dtype))
                    for l in range(L))
-    d_tapsA = jnp.zeros(gA.shape, jnp.float32)
-    d_tapsB = jnp.zeros(gB.shape, jnp.float32)
+    d_tapsA = jnp.zeros(gA.shape, gA.dtype)
+    d_tapsB = jnp.zeros(gB.shape, gB.dtype)
     d_cenA = jnp.zeros(cen_A.shape, cen_A.dtype)
     d_cenB = jnp.zeros(cen_B.shape, cen_B.dtype)
-    d_planes = jax.tree_util.tree_map(
-        lambda p: jnp.zeros(p.shape, p.dtype), planes)
-    return (d_pyrA, d_pyrB, d_tapsA, d_tapsB, d_cenA, d_cenB, d_planes)
+    d_gcatA = jnp.zeros(gcatA.shape, gcatA.dtype)
+    d_gcatB = jnp.zeros(gcatB.shape, gcatB.dtype)
+    return (d_pyrA, d_pyrB, d_tapsA, d_tapsB, d_cenA, d_cenB,
+            d_gcatA, d_gcatB)
 
 
 _rebind.defvjp(_rebind_fwd, _rebind_bwd)
 
 
 def dccl_deferred_rebind(pyr_A, pyr_B, taps_A, taps_B, cen_A, cen_B,
-                         planes, a2b_8, b2a_8, scales):
+                         grid_A, grid_B, a2b_8, b2a_8, scales):
     """Re-bind no-grad recorded DCCL taps to the packed volumes.
 
     Forward: identity on ``taps_A``/``taps_B``. Backward: ONE stacked
     scatter per level/branch over all S iterations (see the section
-    comment). ``a2b_8``/``b2a_8`` are the HOST-constant rotation grids the
-    recording pass back-rotated with."""
+    comment), with the scatter targets RECOMPUTED from the centres + the
+    world-to-camera grids ``grid_A``/``grid_B`` (a2b_w2c_8 / b2a_w2c_8 —
+    the grids the recording lookup sampled). ``a2b_8``/``b2a_8`` are the
+    HOST-constant rotation grids the recording pass back-rotated with."""
     from ..static_resample import transpose_plan
 
     h1, w1 = taps_A.shape[2:4]
     planTA = transpose_plan(b2a_8, (h1, w1))
     planTB = transpose_plan(a2b_8, (h1, w1))
-    return _rebind(planTA, planTB, tuple(float(s) for s in scales),
+    gA = jnp.asarray(grid_A)
+    gB = jnp.asarray(grid_B)
+    gA3 = gA[0] if gA.ndim == 4 else gA
+    gB3 = gB[0] if gB.ndim == 4 else gB
+    Wg = gA3.shape[1]
+    return _rebind(planTA, planTB, tuple(float(s) for s in scales), Wg,
                    tuple(pyr_A), tuple(pyr_B), taps_A, taps_B,
-                   cen_A, cen_B, planes)
+                   cen_A, cen_B, pack_grid_planes(gA3),
+                   pack_grid_planes(gB3))
 
 
 # --------------------------- 4D convenience API ----------------------------
