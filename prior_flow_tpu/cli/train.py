@@ -52,6 +52,13 @@ def build_parser():
                              "every matmul/conv output (more memory, less "
                              "backward recompute)")
 
+    parser.add_argument("--grad_mode", default="standard",
+                        choices=["standard", "taped"],
+                        help="'taped' = single-forward deferred-scatter "
+                             "backward (identical gradients, one stacked "
+                             "volume scatter per level/branch instead of "
+                             "one per GRU iteration; requires the fused "
+                             "Pallas lookup path)")
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--val_freq", type=int, default=5000,
                         help="checkpoint + validate every N steps "
@@ -104,11 +111,17 @@ def main(argv=None):
         save_path=args.save_path, restore_ckpt=args.restore_ckpt,
         validation=tuple(args.validation), seed=args.seed,
         data_root=args.data_root, val_freq=args.val_freq,
+        grad_mode=args.grad_mode,
     )
 
+    # taped gradients need DCCLFused.record — pin the fused Pallas lookup
+    # (on TPU 'auto' already resolves to it; elsewhere it runs interpret
+    # mode, slow but correct, instead of erroring out)
+    lookup = "pallas" if cfg.grad_mode == "taped" else "auto"
     model = PriOrRAFT(dropout=cfg.dropout,
                       mixed_precision=cfg.mixed_precision,
-                      remat_policy=args.remat_policy)
+                      remat_policy=args.remat_policy,
+                      lookup_mode=lookup)
     if args.mesh == "auto":
         mesh = make_mesh() if len(jax.devices()) > 1 else None
     else:

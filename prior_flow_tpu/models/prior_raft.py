@@ -85,6 +85,45 @@ def upsample_flow_convex(flow, mask):
     return up.reshape(B, 8 * h, 8 * w, C).astype(f.dtype)
 
 
+@jax.custom_vjp
+def _tape_probe(c, z):
+    """Identity on ``c``; ``z`` is a dead operand whose COTANGENT carries
+    the corr-field gradient out of the GRU scan (d(z) == d(c + z) == g).
+
+    Equivalent to ``c + z`` with z == 0, but the zero tape's primal value
+    is never read, so XLA DCEs both the (iters, B, h8, w8, L*K) zeros
+    buffer and the ~1 GB/forward of add traffic it would cost."""
+    return c
+
+
+def _tape_probe_fwd(c, z):
+    return c, None
+
+
+def _tape_probe_bwd(_, g):
+    return (g, g)
+
+
+_tape_probe.defvjp(_tape_probe_fwd, _tape_probe_bwd)
+
+
+def build_packed_pyramids(fmap1, fmap2, num_levels: int = 4,
+                          dtype=jnp.float32):
+    """One branch's kernel-packed correlation pyramid, differentiably.
+
+    ``build_pyramid_lean`` (chunked MXU build — never materialises the
+    full f32 volume; its chunk loop is a plain unrolled Python loop, so
+    the whole build is reverse-differentiable) followed by
+    ``pack_volume`` per level. Used by the taped training path, whose
+    manual VJP composition pulls the deferred scatter's volume cotangents
+    back through this function to the feature maps."""
+    from ..ops.corr import build_pyramid_lean
+    from ..ops.pallas.dccl_gather import pack_volume
+
+    pyr = build_pyramid_lean(fmap1, fmap2, num_levels, dtype)
+    return tuple(pack_volume(p) for p in pyr)
+
+
 class PriOrRAFT(nn.Module):
     """Dual-branch RAFT with Dual-Cost Collaborative Lookup and
     Ortho-Driven Distortion Compensation (reference core/prior_raft.py:27)."""
@@ -152,7 +191,7 @@ class PriOrRAFT(nn.Module):
 
     # -- one GRU iteration (reference core/prior_raft.py:170-211) ----------
     def _step_core(self, carry, consts: StepConsts, taps=None,
-                   record: bool = False):
+                   record: bool = False, z=None):
         """Shared iteration body; returns the new carry plus the two
         upsample masks (upsampling itself is the caller's choice — the
         test-mode scan defers it to after the loop).
@@ -193,10 +232,22 @@ class PriOrRAFT(nn.Module):
             # saves its xs, so no checkpoint_name is needed either)
             corr_A, corr_B = taps
         elif record:
-            (corr_A, corr_B), tape = self._dccl.record(
+            (corr_A, corr_B), cens = self._dccl.record(
                 coords1_A, coords1_B, c.pyr_A, c.pyr_B,
                 g8.a2b_w2c_8, g8.b2a_w2c_8, g8.a2b_8, g8.b2a_8)
-            tape = ((corr_A, corr_B), tape)
+            if z is not None:
+                # taped single-forward path: the record lookup is a
+                # constant (all inputs stop_gradiented), the zero tape z
+                # carries the gradient channel — its cotangent IS this
+                # iteration's summed-field cotangent, collected stacked by
+                # the scan backward (train/trainer.py::_taped_grads)
+                corr_A = checkpoint_name(_tape_probe(corr_A, z[0]),
+                                         "dccl_corr")
+                corr_B = checkpoint_name(_tape_probe(corr_B, z[1]),
+                                         "dccl_corr")
+                tape = cens
+            else:
+                tape = ((corr_A, corr_B), cens)
         else:
             if isinstance(self._dccl, DCCLFused):
                 corr_A, corr_B_A, corr_B, corr_A_B = self._dccl(
@@ -254,6 +305,20 @@ class PriOrRAFT(nn.Module):
         flow_up_B = upsample_flow_convex(coords1_B - consts.coords0, up_mask_B)
         return carry, (flow_up_A, flow_up_B)
 
+    def _step_taped(self, carry, z, consts: StepConsts):
+        """Single-forward taped step (see train/trainer.py::_taped_grads):
+        the standard differentiable recurrence, except the DCCL lookup runs
+        primal-only (record mode) and the scanned zero tape ``z`` is added
+        to the summed corr fields so the scan backward emits the stacked
+        per-iteration corr cotangents as d(z). ys additionally carry the
+        (stop_gradiented) query centres the deferred scatter needs."""
+        carry, (up_mask_A, up_mask_B), (cqA, cqB) = self._step_core(
+            carry, consts, record=True, z=z)
+        _, _, coords1_A, coords1_B = carry
+        flow_up_A = upsample_flow_convex(coords1_A - consts.coords0, up_mask_A)
+        flow_up_B = upsample_flow_convex(coords1_B - consts.coords0, up_mask_B)
+        return carry, (flow_up_A, flow_up_B, cqA, cqB)
+
     def _step_test(self, carry, consts: StepConsts):
         """Inference step: identical recurrence, but only branch A's LAST
         upsample mask is kept (in the carry) and nothing is upsampled
@@ -274,10 +339,16 @@ class PriOrRAFT(nn.Module):
                                      test_mode, train)
         return self._forward(image1, image2, iters, init_flow, test_mode, train)
 
-    def _forward(self, image1, image2, iters, init_flow, test_mode, train):
-        B, H, W, _ = image1.shape
-        g = gridlib.rotation_grids(H, W)
-        a2b = jnp.asarray(g.a2b)
+    def encode(self, image1, image2, train: bool = False):
+        """Image normalisation + orthogonal view + context/feature encoders
+        (prior_raft.py:109-149). Split out of ``_forward`` so the taped
+        training path (train/trainer.py::_taped_grads) can VJP the encoder
+        stage separately from the GRU scan.
+
+        Returns ``(net_A, net_B, inp_A, inp_B, fmaps)`` with fmaps the
+        float32 4-tuple (fmap1_A, fmap2_A, fmap1_B, fmap2_B)."""
+        H, W = image1.shape[1:3]
+        a2b = jnp.asarray(gridlib.rotation_grids(H, W).a2b)
 
         # normalise to [-1, 1] (prior_raft.py:109-110)
         image1_A = 2.0 * (image1 / 255.0) - 1.0
@@ -297,7 +368,15 @@ class PriOrRAFT(nn.Module):
 
         # feature network (prior_raft.py:144-149); float32 for correlation
         fmaps = self.fnet([image1_A, image2_A, image1_B, image2_B], train=train)
-        fmap1_A, fmap2_A, fmap1_B, fmap2_B = [f.astype(jnp.float32) for f in fmaps]
+        return (net_A, net_B, inp_A, inp_B,
+                tuple(f.astype(jnp.float32) for f in fmaps))
+
+    def _forward(self, image1, image2, iters, init_flow, test_mode, train):
+        B, H, W, _ = image1.shape
+        g = gridlib.rotation_grids(H, W)
+
+        net_A, net_B, inp_A, inp_B, fmaps = self.encode(image1, image2, train)
+        fmap1_A, fmap2_A, fmap1_B, fmap2_B = fmaps
 
         # all-pairs cost volumes + pyramids (prior_raft.py:151-159).
         # With mixed precision the pyramid is STORED in bf16 (halved HBM
@@ -459,3 +538,50 @@ class PriOrRAFT(nn.Module):
         _, (preds_A, preds_B) = scan(self, carry0, (tapsA, tapsB),
                                      replay_consts)
         return preds_A, preds_B
+
+    def iterate_taped(self, net_A, net_B, inp_A, inp_B, fmap1_A, fmap2_A,
+                      pyr_A, pyr_B, z_A, z_B, iters: int = 12):
+        """GRU scan for the single-forward taped training path.
+
+        Runs the STANDARD differentiable recurrence once, with the DCCL
+        lookups primal-only (the packed pyramids are consumed under
+        stop_gradient) and the scanned zero tapes ``z_A``/``z_B``
+        ((iters, B, h8, w8, L*K) each) added to the summed corr fields.
+        The caller (train/trainer.py::_taped_grads) VJPs this function:
+        d(z) is then exactly the stacked per-iteration corr-field
+        cotangents, which ONE deferred scatter per level/branch converts
+        into the volume cotangent — no per-iteration scatter chain in the
+        scan backward, and no second recording scan either (the
+        two-scan ``deferred_vol_grad`` path pays an extra full forward).
+
+        Returns ``((preds_A, preds_B), (cen_A, cen_B))`` with preds the
+        per-iteration upsampled flows and cen the stacked (iters, B, Q, 2)
+        stop-gradiented query centres for the scatter."""
+        sg = jax.lax.stop_gradient
+        B, h8, w8, _ = net_A.shape
+        coords0 = jnp.broadcast_to(
+            jnp.asarray(gridlib.identity_grid(h8, w8))[None], (B, h8, w8, 2))
+        consts = StepConsts(
+            inp_A=inp_A, inp_B=inp_B,
+            fmap1_A=fmap1_A, fmap2_A=fmap2_A,
+            pyr_A=jax.tree_util.tree_map(sg, tuple(pyr_A)),
+            pyr_B=jax.tree_util.tree_map(sg, tuple(pyr_B)),
+            coords0=coords0,
+        )
+        carry0 = (net_A, net_B, coords0, coords0)
+
+        step = PriOrRAFT._step_taped
+        if self.remat:
+            step = nn.remat(step, prevent_cse=False,
+                            policy=self._remat_policy())
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=(0, nn.broadcast),
+            out_axes=0,
+            length=iters,
+        )
+        _, (preds_A, preds_B, cen_A, cen_B) = scan(
+            self, carry0, (z_A, z_B), consts)
+        return (preds_A, preds_B), (cen_A, cen_B)

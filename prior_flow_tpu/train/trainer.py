@@ -65,12 +65,147 @@ class TrainState(struct.PyTreeNode):
         return v
 
 
+def taped_value_and_grad(model, variables, image1, image2, flow_gt, valid,
+                         flow_gt_B, valid_B, rng, iters: int, gamma: float):
+    """Training loss + gradients via the SINGLE-FORWARD taped path.
+
+    The fastest exact training backward for the DCCL volume gradients.
+    Where the standard path scatter-adds into every pyramid level 12
+    times per branch inside the scan backward, and the two-scan
+    ``deferred_vol_grad`` path pays a whole extra recording forward, this
+    runs the standard differentiable recurrence ONCE with the lookups
+    primal-only and a dead zero tape ``z`` added to the summed corr
+    fields (models/prior_raft.py::iterate_taped). Manual VJP composition
+    then routes the gradient:
+
+      encode --> packed pyramids --> taped GRU scan --> loss
+                        ^                  |
+                        |   d(z): stacked per-iteration corr cotangents
+                        +---- ONE deferred scatter per level/branch
+                              (ops/pallas/dccl_gather.dccl_deferred_rebind)
+
+    Exactness: the DCCL lookup is linear in the volume and the query
+    coords are stop_gradiented each iteration (core/prior_raft.py:171),
+    so the volume cotangent is the coords-indexed scatter of the field
+    cotangents — independent of WHEN it is applied. Validated against
+    the standard path in tests/test_model.py::TestTapedGrads.
+
+    Returns ``((loss, metrics), grads)`` with grads matching
+    ``jax.grad`` of the standard loss over ``variables['params']``.
+    """
+    import contextlib
+
+    from ..geometry import grids as gridlib
+    from ..models.prior_raft import PriOrRAFT, build_packed_pyramids
+    from ..ops.pallas.dccl_gather import dccl_deferred_rebind
+
+    if model.corr_mode == "onthefly":
+        raise ValueError("taped gradients require corr_mode='volume'")
+    resolved = model.lookup_mode
+    if resolved == "auto":
+        resolved = "pallas" if jax.default_backend() == "tpu" else "mxu"
+    if resolved != "pallas":
+        raise ValueError(
+            "grad_mode='taped' needs the fused Pallas lookup (DCCLFused"
+            ".record); the model resolves lookup_mode=%r on this backend "
+            "— pass lookup_mode='pallas' or use grad_mode='standard'"
+            % resolved)
+
+    params = variables["params"]
+    others = {k: v for k, v in variables.items() if k != "params"}
+    bind = lambda p: {"params": p, **others}
+
+    B, H, W, _ = image1.shape
+    h8, w8 = H // 8, W // 8
+    L = model.corr_levels
+    K = (2 * model.corr_radius + 1) ** 2
+    corr_dtype = jnp.bfloat16 if model.mixed_precision else jnp.float32
+    rng_enc, rng_scan = jax.random.split(rng)
+
+    ctx = (jax.default_matmul_precision(model.precision)
+           if model.precision is not None else contextlib.nullcontext())
+    with ctx:
+        def f_enc(p):
+            return model.apply(bind(p), image1, image2, train=True,
+                               method=PriOrRAFT.encode,
+                               rngs={"dropout": rng_enc})
+
+        enc, vjp_enc = jax.vjp(f_enc, params)
+        net_A, net_B, inp_A, inp_B, fmaps = enc
+
+        def f_pyr(fm):
+            return (build_packed_pyramids(fm[0], fm[1], L, corr_dtype),
+                    build_packed_pyramids(fm[2], fm[3], L, corr_dtype))
+
+        (pyr_A, pyr_B), vjp_pyr = jax.vjp(f_pyr, fmaps)
+
+        # dead zero tape: primal never read (prior_raft._tape_probe), its
+        # scan-stacked cotangent is the per-iteration corr-field gradient
+        z = jnp.zeros((iters, B, h8, w8, L * K), jnp.float32)
+
+        def f_scan(p, nA, nB, iA, iB, f1A, f2A, zA, zB):
+            return model.apply(
+                bind(p), nA, nB, iA, iB, f1A, f2A, pyr_A, pyr_B,
+                zA, zB, iters, method=PriOrRAFT.iterate_taped,
+                rngs={"dropout": rng_scan})
+
+        ((preds_A, preds_B), (cen_A, cen_B)), vjp_scan = jax.vjp(
+            f_scan, params, net_A, net_B, inp_A, inp_B,
+            fmaps[0], fmaps[1], z, z)
+
+        def f_loss(pA, pB):
+            loss_A, mA = uniform_sequence_loss(pA, flow_gt, valid,
+                                               gamma=gamma, prefix="A-")
+            loss_B, mB = uniform_sequence_loss(pB, flow_gt_B, valid_B,
+                                               gamma=gamma, prefix="B-")
+            return loss_A + loss_B, {**mA, **mB}
+
+        loss, vjp_loss, metrics = jax.vjp(f_loss, preds_A, preds_B,
+                                          has_aux=True)
+
+        # ---- backward composition ----
+        d_pA, d_pB = vjp_loss(jnp.ones((), loss.dtype))
+        zc = (jnp.zeros_like(cen_A), jnp.zeros_like(cen_B))
+        (g_params_scan, d_netA, d_netB, d_inpA, d_inpB, d_f1A, d_f2A,
+         d_zA, d_zB) = vjp_scan(((d_pA, d_pB), zc))
+
+        # ONE stacked scatter per level/branch: per-iteration corr
+        # cotangents -> volume cotangents (tap values are unused by the
+        # rebind backward, so d_zA/d_zB double as the dummy taps operand)
+        g = gridlib.rotation_grids(H, W)
+        scales = [1.0 / (2.0 ** i) for i in range(L)]
+        sg = jax.lax.stop_gradient
+
+        def f_rebind(pA_, pB_):
+            return dccl_deferred_rebind(
+                pA_, pB_, d_zA, d_zB, sg(cen_A), sg(cen_B),
+                g.a2b_w2c_8, g.b2a_w2c_8, g.a2b_8, g.b2a_8, scales)
+
+        _, vjp_rebind = jax.vjp(f_rebind, tuple(pyr_A), tuple(pyr_B))
+        d_pyrA, d_pyrB = vjp_rebind((d_zA, d_zB))
+
+        (d_fmaps,) = vjp_pyr((d_pyrA, d_pyrB))
+        d_fmaps = (d_fmaps[0] + d_f1A, d_fmaps[1] + d_f2A,
+                   d_fmaps[2], d_fmaps[3])
+        (g_params_enc,) = vjp_enc(
+            (d_netA, d_netB, d_inpA, d_inpB, d_fmaps))
+
+    grads = jax.tree_util.tree_map(jnp.add, g_params_enc, g_params_scan)
+    return (loss, metrics), grads
+
+
 def make_train_step(model, tx, iters: int = 12, gamma: float = 0.8,
-                    add_noise: bool = False):
+                    add_noise: bool = False, grad_mode: str = "standard"):
     """Build the (jittable) one-step update function.
 
     step(state, batch, rng) -> (state, metrics)
     batch = (image1, image2, flow_gt, valid): NHWC float32 on device.
+
+    grad_mode: 'standard' = jax.value_and_grad over the model forward;
+    'taped' = the single-forward deferred-scatter backward
+    (``taped_value_and_grad``) — identical gradients, one stacked volume
+    scatter per level/branch instead of one per GRU iteration. Requires
+    the DCCLFused volume path (lookup_mode pallas/auto-on-TPU).
     """
 
     def train_step(state: TrainState, batch, rng):
@@ -103,8 +238,13 @@ def make_train_step(model, tx, iters: int = 12, gamma: float = 0.8,
                 preds_B, flow_gt_B, valid_B, gamma=gamma, prefix="B-")
             return loss_A + loss_B, {**mA, **mB}
 
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if grad_mode == "taped":
+            (loss, metrics), grads = taped_value_and_grad(
+                model, state.variables, image1, image2, flow_gt, valid,
+                flow_gt_B, valid_B, rng, iters, gamma)
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
@@ -132,6 +272,7 @@ class TrainerConfig:
     clip: float = 1.0
     gamma: float = 0.8
     add_noise: bool = False
+    grad_mode: str = "standard"  # 'taped' = single-forward deferred scatter
     mixed_precision: bool = False
     dropout: float = 0.0
     save_path: str = "./checkpoints"
@@ -227,7 +368,8 @@ class Trainer:
     def compile_step(self, state, batch):
         step_fn = make_train_step(self.model, self.tx, iters=self.cfg.iters,
                                   gamma=self.cfg.gamma,
-                                  add_noise=self.cfg.add_noise)
+                                  add_noise=self.cfg.add_noise,
+                                  grad_mode=self.cfg.grad_mode)
         if self.mesh is not None:
             from ..parallel.mesh import replicated
             rep = replicated(self.mesh)

@@ -270,3 +270,56 @@ class TestDeferredVolGrad:
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow  # interpret-mode Pallas scan + scatter on CPU
+class TestTapedGrads:
+    def test_taped_loss_and_grads_match_standard_path(self):
+        """The single-forward taped backward (zero-tape probe in the scan
+        + ONE deferred scatter per level/branch + manual VJP composition,
+        train/trainer.py::taped_value_and_grad) must reproduce the
+        standard path's training loss and gradients exactly: the lookup
+        is linear in the volume and per-iteration coords are
+        stop_gradiented, so the volume cotangent is the coords-indexed
+        scatter of the stacked field cotangents."""
+        import numpy as np
+
+        from prior_flow_tpu.models import PriOrRAFT
+        from prior_flow_tpu.train.loss import uniform_sequence_loss
+        from prior_flow_tpu.train.trainer import taped_value_and_grad
+
+        H, W = 32, 64
+        rng = jax.random.PRNGKey(0)
+        img1 = jax.random.uniform(rng, (1, H, W, 3)) * 255.0
+        img2 = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                  (1, H, W, 3)) * 255.0
+        gt = jax.random.normal(jax.random.fold_in(rng, 2), (1, H, W, 2))
+        valid = jnp.ones((1, H, W))
+
+        model = PriOrRAFT(lookup_mode="pallas", precision="highest")
+        variables = model.init(rng, img1, img2, iters=1)
+
+        def loss_fn(params):
+            others = {k: v for k, v in variables.items() if k != "params"}
+            preds_A, preds_B = model.apply({"params": params, **others},
+                                           img1, img2, iters=2, train=True)
+            la, _ = uniform_sequence_loss(preds_A, gt, valid)
+            lb, _ = uniform_sequence_loss(preds_B, gt, valid)
+            return la + lb
+
+        l0, g0 = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+
+        @jax.jit
+        def taped(params):
+            others = {k: v for k, v in variables.items() if k != "params"}
+            return taped_value_and_grad(
+                model, {"params": params, **others}, img1, img2, gt, valid,
+                gt, valid, jax.random.PRNGKey(7), 2, 0.8)
+
+        (l1, metrics), g1 = taped(variables["params"])
+        assert float(jnp.abs(l0 - l1)) < 1e-4 * max(1.0, abs(float(l0)))
+        assert np.isfinite(float(metrics["A-epe"]))
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)

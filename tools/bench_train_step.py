@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--deferred", action="store_true",
                     help="deferred volume gradients (record + stacked "
                          "rebind scatter + replay; models/prior_raft.py)")
+    ap.add_argument("--taped", action="store_true",
+                    help="single-forward taped backward (one stacked "
+                         "scatter per level/branch, no recording scan; "
+                         "train/trainer.py::taped_value_and_grad)")
     args = ap.parse_args()
     rng = jax.random.PRNGKey(0)
 
@@ -85,7 +89,9 @@ def main():
     variables = model.init(rng, img1[:1], img2[:1], iters=1)
     tx, _ = make_optimizer(lr=1e-4, num_steps=100)
     state = TrainState.create(variables, tx)
-    step_fn = jax.jit(make_train_step(model, tx, iters=ITERS))
+    step_fn = jax.jit(make_train_step(
+        model, tx, iters=ITERS,
+        grad_mode="taped" if args.taped else "standard"))
     print("compiling train step...", flush=True)
     t0 = time.perf_counter()
     state2, metrics = step_fn(state, (img1, img2, flow, valid), rng)
@@ -100,7 +106,8 @@ def main():
         _ = float(metrics["train/loss"])
         times.append(time.perf_counter() - t0)
     times.sort()
-    tag = args.policy + ("+deferred" if args.deferred else "")
+    tag = args.policy + ("+deferred" if args.deferred else "") + (
+        "+taped" if args.taped else "")
     print(f"train step B=4 [{tag}]: "
           f"{times[len(times) // 2] * 1e3:.0f} ms "
           f"({B / times[len(times) // 2]:.2f} pairs/s)", flush=True)
