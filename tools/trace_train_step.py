@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 from prior_flow_tpu.models import PriOrRAFT
 from prior_flow_tpu.train.trainer import TrainState, make_train_step
 from prior_flow_tpu.train.optim import make_optimizer
@@ -57,9 +60,26 @@ def categorize(name: str) -> str:
     return "other"
 
 
+def _xplane_pb2():
+    """Compile tools/xplane.proto (a mirror of the public tsl schema) with
+    protoc on first use and import the generated module."""
+    import importlib
+    import subprocess
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "xplane_gen")
+    os.makedirs(out, exist_ok=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    gen = os.path.join(out, "xplane_pb2.py")
+    if not os.path.exists(gen):
+        subprocess.run(["protoc", f"--python_out={out}", "-I", here,
+                        os.path.join(here, "xplane.proto")], check=True)
+    sys.path.insert(0, out)
+    return importlib.import_module("xplane_pb2")
+
+
 def aggregate(trace_dir: str):
-    # xplane protobuf via tensorflow's bundled profiler protos
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    xplane_pb2 = _xplane_pb2()
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                       recursive=True)
@@ -72,23 +92,30 @@ def aggregate(trace_dir: str):
         xspace.ParseFromString(f.read())
 
     per_op = defaultdict(float)     # op name -> total device us
+    module_ms = 0.0
     for plane in xspace.planes:
-        pname = plane.name.lower()
-        # device planes only (TPU:0 / 'device' naming); skip host threads
-        if "tpu" not in pname and "device" not in pname and \
-                "/device" not in pname:
-            continue
+        if "device:TPU" not in plane.name:
+            continue  # device plane only; host threads double-count
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname and "xla" not in lname:
-                continue  # step-marker lines double-count op time
+            if line.name == "XLA Modules":
+                module_ms += sum(e.duration_ps for e in line.events) / 1e9
+            if line.name != "XLA Ops":
+                continue  # leaf op executions only
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
+                # control-flow umbrella events span their contents on the
+                # same line — summing them double-counts every inner op
+                low = name.split(" = ")[0]
+                if ("while" in low or "conditional" in low
+                        or low.startswith("jit_") or "call" in low):
+                    continue
                 per_op[name] += ev.duration_ps / 1e6  # ps -> us
     if not per_op:
         print("no device events parsed from", path)
         return
+    print(f"XLA Modules total: {module_ms:.1f} ms "
+          f"(per-step wall = total / traced steps)")
 
     cats = defaultdict(float)
     for name, us in per_op.items():
