@@ -323,3 +323,32 @@ class TestTapedGrads:
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-4)
+
+
+class TestTapedGuards:
+    def test_taped_requires_fused_lookup(self):
+        """grad_mode='taped' needs DCCLFused.record; with the lookup
+        resolving to the mxu path (CPU 'auto' / explicit 'mxu') the
+        trainer must fail with a clear ValueError, not an
+        AttributeError from deep inside the scan (the failure the CLI
+        drive originally hit)."""
+        from prior_flow_tpu.models import PriOrRAFT
+        from prior_flow_tpu.train.trainer import taped_value_and_grad
+
+        model = PriOrRAFT(lookup_mode="mxu")
+        dummy = jnp.zeros((1, 32, 64, 3))
+        with pytest.raises(ValueError, match="taped"):
+            taped_value_and_grad(model, {"params": {}}, dummy, dummy,
+                                 None, None, None, None,
+                                 jax.random.PRNGKey(0), 2, 0.8)
+
+    def test_taped_requires_volume_mode(self):
+        from prior_flow_tpu.models import PriOrRAFT
+        from prior_flow_tpu.train.trainer import taped_value_and_grad
+
+        model = PriOrRAFT(lookup_mode="pallas", corr_mode="onthefly")
+        dummy = jnp.zeros((1, 32, 64, 3))
+        with pytest.raises(ValueError, match="volume"):
+            taped_value_and_grad(model, {"params": {}}, dummy, dummy,
+                                 None, None, None, None,
+                                 jax.random.PRNGKey(0), 2, 0.8)
