@@ -598,6 +598,130 @@ def _scatter_grads_window(g, cen, level_scale, Hl, Wl, dtype, radius=4):
 
 
 # ---------------------------------------------------------------------------
+# Patch-local scatter (round-5 lever): shrink the one-hot H factor from Hl
+# rows to a P-row patch at a per-query dynamic base, then place the patch
+# back with a row GATHER (dv rows are query-private, so placement never
+# collides). Exactness rests on a measured geometric bound, NOT the
+# ~10-row claim of the round-4 design note — that claim is FALSE: the
+# cycle sampler's zero-pad y-edges and its x-seam quirk (x0+1 == W
+# contributes zero, utils.py:78-95) scale tap coords by per-query partial
+# weights, sweeping them continuously toward 0, so the per-query
+# contributing-corner row span at 512x1024 level 0 is 40 rows (per-(q,j):
+# 26) — tools/measure_cross_span.py sweeps the real grids exhaustively.
+# P = CROSS_PATCH_ROWS covers that span with margin; levels whose span
+# reaches Hl (all levels > 0 at 512x1024) keep the dense path.
+# ---------------------------------------------------------------------------
+
+# 48 >= the measured worst-case span (40 at step-0.25 sweep) + margin.
+# "0" disables the patch path (dense fallback everywhere).
+CROSS_PATCH_ROWS = int(os.environ.get("PRIORFLOW_SCATTER_PATCH", "48"))
+OWN_PATCH_ROWS = 16  # own window touches <= 10 rows (floor(c)-4 .. floor(c)+5)
+
+
+def _scatter_grads_patch(g, tapx, tapy, Hl, Wl, dtype, P):
+    """`_scatter_grads` restricted to a P-row patch: returns
+    (patch (B, Q, P, Wl), base (B, Q)) with
+    place(patch, base) == _scatter_grads(...) whenever every contributing
+    corner row fits in [base, base+P-1] (the measured span bound)."""
+    x0, x1, fx, _, mx1 = _one_hot_pair(tapx, Wl, wrap=True)
+    y0, y1, fy, my0, my1 = _one_hot_pair(tapy, Hl, wrap=False)
+    w0 = my0 * (1.0 - fy)
+    w1 = my1 * fy
+    big = jnp.int32(Hl)
+    cand = jnp.minimum(jnp.where(w0 > 0, y0, big), jnp.where(w1 > 0, y1, big))
+    base = jnp.min(cand, axis=-1)                                # (B, Q)
+    base = jnp.clip(jnp.where(base >= big, 0, base), 0, max(Hl - P, 0))
+
+    l0 = y0 - base[..., None]
+    l1 = y1 - base[..., None]
+    cols_p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, P), 3)
+    wy = (jnp.where(cols_p == l0[..., None], w0[..., None], 0.0)
+          + jnp.where(cols_p == l1[..., None], w1[..., None], 0.0))
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Wl), 3)
+    wx = (jnp.where(cols_w == x0[..., None], (1 - fx)[..., None], 0.0)
+          + jnp.where(cols_w == x1[..., None], (fx * mx1)[..., None], 0.0))
+    gwx = wx * g[..., None]
+    patch = jnp.einsum("bqkp,bqkw->bqpw", wy.astype(dtype),
+                       gwx.astype(dtype),
+                       preferred_element_type=jnp.float32)
+    return patch.astype(dtype), base
+
+
+def _scatter_grads_window_patch(g, cen, level_scale, Hl, Wl, dtype, P,
+                                radius=4):
+    """`_scatter_grads_window` with the H one-hot factor shrunk to a P-row
+    patch at base = clip(floor(scaled centre) - radius). The own window's
+    corner rows live in [floor(c)-r, floor(c)+r+1] — 2r+2 = 10 rows — so
+    P=16 always covers them. Returns (patch (B, Q, P, Wl), base (B, Q))."""
+    from ..corr import _window_weights
+
+    n = 2 * radius + 1
+    B, Q, K = g.shape
+    gij = g.reshape(B, Q, n, n)  # [i (x-tap), j (y-tap)]
+    ty = cen[..., 1] * level_scale  # own window y is NOT wrapped
+    base = jnp.clip(jnp.floor(ty).astype(jnp.int32) - radius,
+                    0, max(Hl - P, 0))                           # (B, Q)
+
+    # local-window one-hot: same construction as _window_weights but with
+    # columns base..base+P-1; corners outside [0, Hl-1] fall outside the
+    # clipped patch and thus contribute zero, matching the full-width form
+    t0 = jnp.floor(ty)
+    frac = (ty - t0)[..., None, None]                            # (B,Q,1,1)
+    d = jnp.arange(n, dtype=jnp.float32) - radius                # (n,)
+    corner = t0[..., None] + d                                   # (B,Q,n)
+    cols = (jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, P), 3)
+            + base[..., None, None].astype(jnp.float32))         # (B,Q,1,P)
+    c = corner[..., None]                                        # (B,Q,n,1)
+    wy = (jnp.where(cols == c, 1.0 - frac, 0.0)
+          + jnp.where(cols == c + 1.0, frac, 0.0))               # (B,Q,n,P)
+
+    wx = _window_weights(cen[..., 0] * level_scale, Wl, radius, wrap=True
+                         ).astype(dtype)                         # (B,Q,n,Wl)
+    tmp = jnp.einsum("bqjp,bqij->bqip", wy.astype(dtype), gij.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    patch = jnp.einsum("bqip,bqiw->bqpw", tmp.astype(dtype), wx,
+                       preferred_element_type=jnp.float32)
+    return patch.astype(dtype), base
+
+
+def _place_patches(Hl, *patches_and_bases):
+    """Sum of P-row patches placed at per-query row bases:
+    out[b,q,h,w] = sum_i patch_i[b,q,h-base_i,w] (rows outside a patch
+    contribute zero). One fused output pass: each gather is a contiguous
+    Wl-lane row read, the efficient kind of gather on TPU."""
+    out = None
+    rows = None
+    for patch, base in patches_and_bases:
+        B, Q, P, Wl = patch.shape
+        if rows is None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Hl), 2)
+        idx = rows - base[..., None]                             # (B,Q,Hl)
+        valid = (idx >= 0) & (idx < P)
+        g = jnp.take_along_axis(patch, jnp.clip(idx, 0, P - 1)[..., None],
+                                axis=2)
+        term = jnp.where(valid[..., None], g, jnp.zeros((), patch.dtype))
+        out = term if out is None else out + term
+    return out
+
+
+def _scatter_own_cross(g_own, cen, level_scale, g_cross, cx, cy,
+                       Hl, Wl, dtype):
+    """One volume's combined cotangent: own-window scatter + cross-tap
+    scatter, patch-local when the level is large enough to profit
+    (Hl > CROSS_PATCH_ROWS — at 512x1024 that is level 0 only; the
+    measured per-query cross span REACHES Hl at the pooled levels, see
+    tools/measure_cross_span.py). Numerics == the dense pair."""
+    P = CROSS_PATCH_ROWS
+    if not P or Hl <= P:
+        return (_scatter_grads_window(g_own, cen, level_scale, Hl, Wl, dtype)
+                + _scatter_grads(g_cross, cx, cy, Hl, Wl, dtype))
+    pc, bc = _scatter_grads_patch(g_cross, cx, cy, Hl, Wl, dtype, P)
+    po, bo = _scatter_grads_window_patch(g_own, cen, level_scale, Hl, Wl,
+                                         dtype, OWN_PATCH_ROWS)
+    return _place_patches(Hl, (pc, bc), (po, bo))
+
+
+# ---------------------------------------------------------------------------
 # differentiable wrapper: gradients flow to the volumes only (lookup coords
 # are stop_gradiented upstream each GRU iteration, core/prior_raft.py:171)
 # ---------------------------------------------------------------------------
@@ -631,20 +755,17 @@ def _packed_bwd(level_scale, interpret, res, cts):
     meta_A, meta_B, cen_A, cen_B, cross_A, cross_B = res
     g_ownA, g_crossA, g_ownB, g_crossB = cts
     _, Hl, Wl = meta_A.shape
-    # Separable own-window scatter + dense cross scatter, as one-hot
-    # einsums. A fused Pallas matmul-scatter kernel was built and measured
-    # SLOWER (102.7 vs 13.7 ms/iter at level 0, tools/bench_scatter.py):
-    # the one-hot contraction FLOPs dwarf the HBM traffic they avoid.
-    d_pA = _repack(
-        _scatter_grads_window(g_ownA, cen_A, level_scale, Hl, Wl,
-                              meta_A.dtype)
-        + _scatter_grads(g_crossB, cross_B[..., 0], cross_B[..., 1],
-                         Hl, Wl, meta_A.dtype))
-    d_pB = _repack(
-        _scatter_grads_window(g_ownB, cen_B, level_scale, Hl, Wl,
-                              meta_B.dtype)
-        + _scatter_grads(g_crossA, cross_A[..., 0], cross_A[..., 1],
-                         Hl, Wl, meta_B.dtype))
+    # Separable own-window scatter + cross scatter (patch-local at level 0,
+    # _scatter_own_cross), as one-hot einsums. A fused Pallas
+    # matmul-scatter kernel was built and measured SLOWER (102.7 vs 13.7
+    # ms/iter at level 0, tools/bench_scatter.py): the one-hot contraction
+    # FLOPs dwarf the HBM traffic they avoid.
+    d_pA = _repack(_scatter_own_cross(
+        g_ownA, cen_A, level_scale,
+        g_crossB, cross_B[..., 0], cross_B[..., 1], Hl, Wl, meta_A.dtype))
+    d_pB = _repack(_scatter_own_cross(
+        g_ownB, cen_B, level_scale,
+        g_crossA, cross_A[..., 0], cross_A[..., 1], Hl, Wl, meta_B.dtype))
     return (d_pA, d_pB, None, None, None, None, None, None)
 
 
@@ -680,16 +801,12 @@ def _packed_planes_bwd(level_scale, interpret, res, cts):
     _, Hl, Wl = meta_A.shape
     B, Q = cen_A.shape[:2]
     unpad = lambda p: p[:, :NTAP].reshape(B, Q, NTAP)
-    d_pA = _repack(
-        _scatter_grads_window(g_ownA, cen_A, level_scale, Hl, Wl,
-                              meta_A.dtype)
-        + _scatter_grads(g_crossB, unpad(cBx), unpad(cBy),
-                         Hl, Wl, meta_A.dtype))
-    d_pB = _repack(
-        _scatter_grads_window(g_ownB, cen_B, level_scale, Hl, Wl,
-                              meta_B.dtype)
-        + _scatter_grads(g_crossA, unpad(cAx), unpad(cAy),
-                         Hl, Wl, meta_B.dtype))
+    d_pA = _repack(_scatter_own_cross(
+        g_ownA, cen_A, level_scale,
+        g_crossB, unpad(cBx), unpad(cBy), Hl, Wl, meta_A.dtype))
+    d_pB = _repack(_scatter_own_cross(
+        g_ownB, cen_B, level_scale,
+        g_crossA, unpad(cAx), unpad(cAy), Hl, Wl, meta_B.dtype))
     return (d_pA, d_pB, None, None, None, None, None, None, None, None)
 
 
@@ -748,21 +865,18 @@ def _packed_grid_bwd(level_scale, interpret, res, cts):
     B, Q = cen_A.shape[:2]
     unpad = lambda p: p[:, :NTAP].reshape(B, Q, NTAP)
 
-    # Separable own-window scatter + dense cross scatter (at the exact tap
-    # coords the forward kernel emitted), as one-hot einsums. A fused
-    # Pallas matmul-scatter kernel was built and measured SLOWER (102.7 vs
-    # 13.7 ms/iter at level 0, tools/bench_scatter.py): the one-hot
-    # contraction FLOPs dwarf the HBM traffic they avoid.
-    d_pA = _repack(
-        _scatter_grads_window(g_ownA, cen_A, level_scale, Hl, Wl,
-                              meta_A.dtype)
-        + _scatter_grads(g_crossB, unpad(cBx), unpad(cBy),
-                         Hl, Wl, meta_A.dtype))
-    d_pB = _repack(
-        _scatter_grads_window(g_ownB, cen_B, level_scale, Hl, Wl,
-                              meta_B.dtype)
-        + _scatter_grads(g_crossA, unpad(cAx), unpad(cAy),
-                         Hl, Wl, meta_B.dtype))
+    # Separable own-window scatter + cross scatter at the exact tap coords
+    # the forward kernel emitted (patch-local at level 0,
+    # _scatter_own_cross), as one-hot einsums. A fused Pallas
+    # matmul-scatter kernel was built and measured SLOWER (102.7 vs 13.7
+    # ms/iter at level 0, tools/bench_scatter.py): the one-hot contraction
+    # FLOPs dwarf the HBM traffic they avoid.
+    d_pA = _repack(_scatter_own_cross(
+        g_ownA, cen_A, level_scale,
+        g_crossB, unpad(cBx), unpad(cBy), Hl, Wl, meta_A.dtype))
+    d_pB = _repack(_scatter_own_cross(
+        g_ownB, cen_B, level_scale,
+        g_crossA, unpad(cAx), unpad(cAy), Hl, Wl, meta_B.dtype))
     return (d_pA, d_pB, None, None, None, None, None, None)
 
 
@@ -868,16 +982,12 @@ def _packed_grid_all_bwd(scales, interpret, res, cts):
         _, Hl, Wl = meta.shape
         g_ownA, g_crossA, g_ownB, g_crossB = cts[l]
         cAx, cAy, cBx, cBy = coords[4 * l:4 * l + 4]
-        d_pA.append(_repack(
-            _scatter_grads_window(g_ownA, cen_A, scales[l], Hl, Wl,
-                                  meta.dtype)
-            + _scatter_grads(g_crossB, unpad(cBx), unpad(cBy),
-                             Hl, Wl, meta.dtype)))
-        d_pB.append(_repack(
-            _scatter_grads_window(g_ownB, cen_B, scales[l], Hl, Wl,
-                                  meta.dtype)
-            + _scatter_grads(g_crossA, unpad(cAx), unpad(cAy),
-                             Hl, Wl, meta.dtype)))
+        d_pA.append(_repack(_scatter_own_cross(
+            g_ownA, cen_A, scales[l],
+            g_crossB, unpad(cBx), unpad(cBy), Hl, Wl, meta.dtype)))
+        d_pB.append(_repack(_scatter_own_cross(
+            g_ownB, cen_B, scales[l],
+            g_crossA, unpad(cAx), unpad(cAy), Hl, Wl, meta.dtype)))
     return (tuple(d_pA), tuple(d_pB), None, None, None, None)
 
 

@@ -39,26 +39,32 @@ class _Plan:
     """Identity-hashed (it feeds custom_vjp's nondiff_argnums); instances
     are interned by the lru_cache below, so identity equality is correct.
 
-    The transpose is TWO-TIER: rotation grids compress whole regions into
-    the pole rows, so per-source read degree is wildly skewed (mean 4,
-    max ~174 at 1/8 res). Tier 1 is a (S, D0<=8) padded-CSR gather covering
-    typical cells; the few heavy cells get their own compact
-    (n_heavy, D_heavy) gather, placed back into the field by ANOTHER
-    gather through a static inverse map — no scatter at any tier.
+    The transpose is DEGREE-BUCKETED: rotation grids compress whole regions
+    into the pole rows, so per-source read degree is wildly skewed (mean 4,
+    max ~174 at 1/8 res; 74% of cells have degree <= 4). Tier 1 is a
+    (S, D0) padded-CSR gather covering every cell's first D0 entries; the
+    overflow entries are split into compact per-degree-range buckets —
+    (n_b, D_b) gathers placed back into the field by ANOTHER gather through
+    a static inverse map. No scatter at any tier. The round-4 two-tier
+    shape (D0=8 + one (544, 166) pad-to-max heavy tier at 1/8 res) moved
+    ~1.4 GB/GRU-iteration for ~32k real weights (~24x padding waste in the
+    heavy tier alone, train-step trace 2026-08-20); bucketing cuts that to
+    the entries that exist.
     """
 
-    __slots__ = ("grid", "mode", "bwd_idx", "bwd_w", "heavy_idx",
-                 "heavy_w", "heavy_inv", "src_hw", "out_shape")
+    __slots__ = ("grid", "mode", "bwd_idx", "bwd_w", "buckets",
+                 "src_hw", "out_shape")
 
-    def __init__(self, grid, mode, bwd_idx, bwd_w, heavy_idx, heavy_w,
-                 heavy_inv, src_hw, out_shape):
+    def __init__(self, grid, mode, bwd_idx, bwd_w, buckets, src_hw,
+                 out_shape):
         self.grid = grid            # (*out_shape, 2) float32 host grid
         self.mode = mode            # sampler semantics for the primal
         self.bwd_idx = bwd_idx      # (S, D0) int32 outputs reading a source
         self.bwd_w = bwd_w          # (S, D0) float32 matching weights
-        self.heavy_idx = heavy_idx  # (n_h, Dh) int32 overflow outputs
-        self.heavy_w = heavy_w      # (n_h, Dh) float32
-        self.heavy_inv = heavy_inv  # (S,) int32 -> row in heavy result
+        # overflow buckets: list of (idx (n_b, D_b) int32, w (n_b, D_b)
+        # float32, inv (S,) int32 -> row in the bucket result, n_b = zero
+        # row) for successive degree ranges
+        self.buckets = buckets
         self.src_hw = src_hw
         self.out_shape = out_shape
 
@@ -95,7 +101,11 @@ def _corners(grid: np.ndarray, H: int, W: int, mode: str):
     return np.stack(out_idx), np.stack(out_w)
 
 
-D0 = 8  # tier-1 degree cap (covers the mean degree of 4 with margin)
+D0 = 4  # tier-1 degree cap (74% of cells at 1/8 res have degree <= 4)
+# overflow bucket caps: entries D0..8, 8..24, 24..max land in successive
+# compact buckets (caps chosen against the measured degree histogram:
+# <=8 covers 93.4% of cells, <=24 all but the pole-compression cells)
+BUCKET_CAPS = (8, 24)
 
 
 @functools.lru_cache(maxsize=64)
@@ -127,23 +137,29 @@ def _plan_cached(key, src_hw, out_shape, mode, grid_bytes):
     bwd_idx[flat_idx[t1], pos[t1]] = flat_out[t1]
     bwd_w[flat_idx[t1], pos[t1]] = flat_w[t1]
 
-    # tier 2: overflow entries of the heavy cells, compact rows
-    heavy_cells = np.nonzero(counts > d1)[0].astype(np.int32)
-    n_h = heavy_cells.size
-    if n_h:
-        dh = int(counts.max()) - d1
-        cell_to_h = np.full(S, n_h, np.int32)
-        cell_to_h[heavy_cells] = np.arange(n_h, dtype=np.int32)
-        t2 = ~t1
-        heavy_idx = np.zeros((n_h, dh), np.int32)
-        heavy_w = np.zeros((n_h, dh), np.float32)
-        heavy_idx[cell_to_h[flat_idx[t2]], pos[t2] - d1] = flat_out[t2]
-        heavy_w[cell_to_h[flat_idx[t2]], pos[t2] - d1] = flat_w[t2]
-        heavy_inv = cell_to_h  # (S,) -> heavy row, n_h = zero row
-    else:
-        heavy_idx = heavy_w = heavy_inv = None
-    return _Plan(grid.astype(np.float32), mode, bwd_idx, bwd_w, heavy_idx,
-                 heavy_w, heavy_inv, src_hw, out_shape)
+    # overflow buckets: entries lo..hi of cells with degree > lo, compact
+    # rows placed back through a static inverse map
+    buckets = []
+    max_deg = int(counts.max()) if counts.size else 0
+    lo = d1
+    caps = [c for c in BUCKET_CAPS if c > lo and c < max_deg] + [max_deg]
+    for hi in caps:
+        cells = np.nonzero(counts > lo)[0].astype(np.int32)
+        n_b = cells.size
+        if n_b == 0 or hi <= lo:
+            break
+        db = hi - lo
+        cell_to_b = np.full(S, n_b, np.int32)
+        cell_to_b[cells] = np.arange(n_b, dtype=np.int32)
+        tb = (pos >= lo) & (pos < hi)
+        b_idx = np.zeros((n_b, db), np.int32)
+        b_w = np.zeros((n_b, db), np.float32)
+        b_idx[cell_to_b[flat_idx[tb]], pos[tb] - lo] = flat_out[tb]
+        b_w[cell_to_b[flat_idx[tb]], pos[tb] - lo] = flat_w[tb]
+        buckets.append((b_idx, b_w, cell_to_b))
+        lo = hi
+    return _Plan(grid.astype(np.float32), mode, bwd_idx, bwd_w, buckets,
+                 src_hw, out_shape)
 
 
 def _get_plan(grid: np.ndarray, src_hw, mode) -> _Plan:
@@ -184,8 +200,8 @@ def _fwd_apply(plan: _Plan, img):
 
 
 def _bwd_apply(plan: _Plan, ct):
-    """ct: (B, *out_shape, C) -> (B, H, W, C) via the two-tier transpose
-    gather (see _Plan)."""
+    """ct: (B, *out_shape, C) -> (B, H, W, C) via the degree-bucketed
+    transpose gather (see _Plan)."""
     B = ct.shape[0]
     C = ct.shape[-1]
     H, W = plan.src_hw
@@ -195,15 +211,15 @@ def _bwd_apply(plan: _Plan, ct):
     v = _rows(flat, plan.bwd_idx).reshape(B, S, d1, C)
     out = jnp.sum(v * jnp.asarray(plan.bwd_w)[None, :, :, None], axis=2)
 
-    if plan.heavy_idx is not None:
-        n_h, dh = plan.heavy_idx.shape
-        hv = _rows(flat, plan.heavy_idx).reshape(B, n_h, dh, C)
-        hsum = jnp.sum(hv * jnp.asarray(plan.heavy_w)[None, :, :, None],
-                       axis=2)                      # (B, n_h, C)
-        hpad = jnp.concatenate(
-            [hsum, jnp.zeros((B, 1, C), hsum.dtype)], axis=1)
+    for b_idx, b_w, b_inv in plan.buckets:
+        n_b, db = b_idx.shape
+        bv = _rows(flat, b_idx).reshape(B, n_b, db, C)
+        bsum = jnp.sum(bv * jnp.asarray(b_w)[None, :, :, None],
+                       axis=2)                      # (B, n_b, C)
+        bpad = jnp.concatenate(
+            [bsum, jnp.zeros((B, 1, C), bsum.dtype)], axis=1)
         # placement is ITSELF a gather through the static inverse map
-        out = out + _rows(hpad, plan.heavy_inv)
+        out = out + _rows(bpad, b_inv)
     return out.reshape(B, H, W, C)
 
 

@@ -349,3 +349,125 @@ class TestFusedLevels:
                               argnums=(0, 1))(volA, volB)
         np.testing.assert_allclose(np.asarray(gA), np.asarray(rA), atol=1e-5)
         np.testing.assert_allclose(np.asarray(gB), np.asarray(rB), atol=1e-5)
+
+
+class TestPatchScatter:
+    """Patch-local volume-cotangent construction (round-5 lever): the
+    cross-tap / own-window scatter einsums with the one-hot H factor shrunk
+    to a per-query P-row patch must equal the dense forms EXACTLY whenever
+    the contributing corner rows fit the patch — which
+    tools/measure_cross_span.py proves they always do for the real rotation
+    grids (worst per-query span 40 rows < P=48 at 512x1024 level 0)."""
+
+    def _real_tap_coords(self, Q, Hg=64, Wg=128, seed=0, edge_frac=0.5):
+        """Cross-view tap coords for Q random window centres through the
+        REAL a2b grid, replicating the kernel's sampling semantics
+        (wrap-x with the x0+1==W zero quirk, zero-pad y) — including the
+        adversarial edge/seam centres that produce partially-scaled taps."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), ".."))
+        from tools.measure_cross_span import sample_grid_plane
+        from prior_flow_tpu.geometry.grids import rotation_grids
+
+        g = rotation_grids(Hg * 8, Wg * 8)
+        gx = np.asarray(g.a2b_w2c_8[..., 0], np.float64)
+        gy = np.asarray(g.a2b_w2c_8[..., 1], np.float64)
+        rng = np.random.default_rng(seed)
+        n_edge = int(Q * edge_frac)
+        cy = np.concatenate([
+            rng.uniform(-6, 6, n_edge // 2),            # top edge band
+            rng.uniform(Hg - 6, Hg + 6, n_edge - n_edge // 2),  # bottom
+            rng.uniform(0, Hg - 1, Q - n_edge)])
+        cx = rng.uniform(-1, Wg + 1, Q)  # includes the x seam
+        d = np.arange(-4.0, 5.0)
+        tx = cx[:, None, None] + d[None, None, :]   # k = i*9+j: i is x
+        ty = cy[:, None, None] + d[None, :, None]
+        tx = np.broadcast_to(tx, (Q, 9, 9))
+        ty = np.broadcast_to(ty, (Q, 9, 9))
+        tapx = sample_grid_plane(gx, tx, ty).transpose(0, 2, 1).reshape(Q, 81)
+        tapy = sample_grid_plane(gy, tx, ty).transpose(0, 2, 1).reshape(Q, 81)
+        cen = np.stack([cx, cy], axis=-1)
+        return (tapx[None].astype(np.float32), tapy[None].astype(np.float32),
+                cen[None].astype(np.float32))
+
+    def test_cross_patch_equals_dense_real_geometry(self):
+        from prior_flow_tpu.ops.pallas.dccl_gather import (
+            CROSS_PATCH_ROWS, _place_patches, _scatter_grads,
+            _scatter_grads_patch)
+
+        Hl, Wl = 64, 128
+        tapx, tapy, _ = self._real_tap_coords(Q=192)
+        rng = np.random.default_rng(1)
+        g = jnp.asarray(rng.normal(size=tapx.shape).astype(np.float32))
+        dense = _scatter_grads(g, jnp.asarray(tapx), jnp.asarray(tapy),
+                               Hl, Wl, jnp.float32)
+        patch, base = _scatter_grads_patch(
+            g, jnp.asarray(tapx), jnp.asarray(tapy), Hl, Wl, jnp.float32,
+            CROSS_PATCH_ROWS)
+        placed = _place_patches(Hl, (patch, base))
+        np.testing.assert_allclose(np.asarray(placed), np.asarray(dense),
+                                   atol=1e-5, rtol=1e-5)
+        # the patch path must carry real mass (the fixture hit real taps)
+        assert float(jnp.abs(dense).sum()) > 0
+
+    def test_own_window_patch_equals_dense(self):
+        from prior_flow_tpu.ops.pallas.dccl_gather import (
+            OWN_PATCH_ROWS, _place_patches, _scatter_grads_window,
+            _scatter_grads_window_patch)
+
+        Hl, Wl = 64, 128
+        Q = 256
+        rng = np.random.default_rng(2)
+        # centres anywhere, including out of range (flow is unbounded)
+        cen = jnp.asarray(np.stack([
+            rng.uniform(-10, Wl + 10, Q),
+            rng.uniform(-10, Hl + 10, Q)], axis=-1)[None].astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(1, Q, 81)).astype(np.float32))
+        for scale in (1.0, 0.5):
+            dense = _scatter_grads_window(g, cen, scale, Hl, Wl, jnp.float32)
+            patch, base = _scatter_grads_window_patch(
+                g, cen, scale, Hl, Wl, jnp.float32, OWN_PATCH_ROWS)
+            placed = _place_patches(Hl, (patch, base))
+            np.testing.assert_allclose(np.asarray(placed), np.asarray(dense),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_scatter_own_cross_dispatch(self):
+        """The combined helper: patch path at level 0 (Hl=64 > P), dense
+        fallback at pooled levels — both equal to the dense pair."""
+        from prior_flow_tpu.ops.pallas.dccl_gather import (
+            _scatter_grads, _scatter_grads_window, _scatter_own_cross)
+
+        tapx, tapy, cen = self._real_tap_coords(Q=128, seed=3)
+        rng = np.random.default_rng(4)
+        g_own = jnp.asarray(rng.normal(size=(1, 128, 81)).astype(np.float32))
+        g_cross = jnp.asarray(rng.normal(size=(1, 128, 81)).astype(np.float32))
+        cen = jnp.asarray(cen)
+        for Hl, Wl in ((64, 128), (32, 64)):
+            dense = (_scatter_grads_window(g_own, cen, 1.0, Hl, Wl,
+                                           jnp.float32)
+                     + _scatter_grads(g_cross, jnp.asarray(tapx),
+                                      jnp.asarray(tapy), Hl, Wl, jnp.float32))
+            got = _scatter_own_cross(g_own, cen, 1.0, g_cross,
+                                     jnp.asarray(tapx), jnp.asarray(tapy),
+                                     Hl, Wl, jnp.float32)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                                       atol=1e-5, rtol=1e-5)
+
+    @pytest.mark.slow  # exhaustive centre sweep over the real grids (~60 s)
+    def test_span_bound_backs_patch_size(self):
+        """The exactness precondition: per-query contributing-corner row
+        span <= CROSS_PATCH_ROWS for every realisable centre, swept densely
+        over the real 512x1024 grids at level 0."""
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), ".."))
+        from tools.measure_cross_span import span_stats
+        from prior_flow_tpu.geometry.grids import rotation_grids
+        from prior_flow_tpu.ops.pallas.dccl_gather import CROSS_PATCH_ROWS
+
+        g = rotation_grids(512, 1024)
+        for grid in (g.a2b_w2c_8, g.b2a_w2c_8):
+            gy = np.asarray(grid[..., 1], np.float64)
+            _, span_q, _, _ = span_stats(gy, 64, 1.0, step=0.5)
+            assert span_q <= CROSS_PATCH_ROWS, (span_q, CROSS_PATCH_ROWS)

@@ -152,6 +152,7 @@ class TestLookupModeResolution:
                                       np.asarray(out))
 
 
+@pytest.mark.slow  # three full train-grad compiles (~136 s on a 1-core host)
 class TestRematPolicies:
     def test_policies_do_not_change_gradients(self):
         """remat is a scheduling choice, never a numerics one: gradients
@@ -180,6 +181,7 @@ class TestRematPolicies:
                 g_ref, g)
 
 
+@pytest.mark.slow  # two interpret-mode train-grad compiles (~95 s)
 class TestFuseLevelsModelPath:
     def test_train_grads_match_per_level_kernel(self, monkeypatch):
         """PRIORFLOW_DCCL_FUSE_LEVELS=1 (all-levels single-launch kernel)

@@ -82,6 +82,8 @@ class TestRAFTModel:
                 assert m in node, f"{m} missing under {mods}"
                 node = node[m]
 
+    @pytest.mark.slow  # a second full legacy-RAFT init+forward compile
+    # (~36 s); the small=False contract test above keeps fast coverage
     def test_small_raft(self, rng):
         model = RAFT(small=True)
         img = jnp.asarray(rng.uniform(0, 255, (1, 64, 128, 3)).astype(np.float32))
