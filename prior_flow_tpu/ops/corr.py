@@ -32,6 +32,7 @@ Data layout: feature maps are (B, H, W, C); the volume is kept as
 
 from __future__ import annotations
 
+import math
 from typing import List, Sequence
 
 import jax
@@ -610,11 +611,21 @@ class DCCLOnTheFly:
     pyramids: pyr_* are lists of (f1 (B, Q, C), f2_lvl (B, Hl, Wl, C)).
     """
 
+    # Above this many queries the per-query tap work runs under a
+    # ``lax.map`` over query chunks: at 2048x4096 (Q = 131072) the
+    # unchunked graph's per-level intermediates (four corner feature
+    # reads of (B, Q, K, C) each) reach tens of GB and the XLA compile
+    # itself exhausts the remote helper's memory (round-4 scale table's
+    # dead row); chunking bounds both at one chunk's footprint.
+    QUERY_CHUNK_AUTO = 16384
+
     def __init__(self, num_levels: int = 4, radius: int = 4,
-                 tap_chunk: int = 27):
+                 tap_chunk: int = 27, query_chunk: int = 0):
         self.num_levels = num_levels
         self.radius = radius
         self.tap_chunk = tap_chunk
+        # 0 = auto (chunk only above QUERY_CHUNK_AUTO); -1 = never chunk
+        self.query_chunk = query_chunk
         self._delta = _window_delta(radius)
 
     @staticmethod
@@ -652,7 +663,7 @@ class DCCLOnTheFly:
         Q = h1 * w1
         K = self._delta.shape[0]
         delta = jnp.asarray(self._delta)[None, None]
-        cq = coords.reshape(B, Q, 1, 2)
+        cq = coords.reshape(B, Q, 2)
         if grid_w2c_8.ndim == 3:
             grid_w2c_8 = jnp.broadcast_to(
                 jnp.asarray(grid_w2c_8), (B,) + grid_w2c_8.shape)
@@ -664,22 +675,45 @@ class DCCLOnTheFly:
                     jnp.asarray(grid_back_8), (B,) + grid_back_8.shape)
             back_rot = cycle_bilinear_sample
 
+        def chunk_taps(cen_q, f1_own_q, f1_other_q):
+            """All per-QUERY tap work for one query chunk. cen_q (B, q, 2);
+            f1 rows chunked the same way (build_pyramid shares f1 across
+            levels). Returns own/cross tap values stacked (B, q, K, L)."""
+            own_l, cross_l = [], []
+            for i in range(self.num_levels):
+                centers = cen_q / (2.0 ** i)
+                coords_lvl = centers[:, :, None, :] + delta
+                own_l.append(self._tap_values(f1_own_q, pyr_own[i][1],
+                                              coords_lvl))
+                coords_other = sample_image_window_mxu(grid_w2c_8, centers,
+                                                       self.radius)
+                cross_l.append(self._tap_values(f1_other_q, pyr_other[i][1],
+                                                coords_other))
+            return jnp.stack(own_l, axis=-1), jnp.stack(cross_l, axis=-1)
+
+        f1_own = pyr_own[0][0]
+        f1_other = pyr_other[0][0]
+        qc = self.query_chunk
+        if qc == 0 and Q > self.QUERY_CHUNK_AUTO:
+            qc = self.QUERY_CHUNK_AUTO
+        if qc > 0 and Q > qc:
+            qc = math.gcd(Q, qc)
+            n = Q // qc
+            C = f1_own.shape[-1]
+            xs = (cq.reshape(B, n, qc, 2).swapaxes(0, 1),
+                  f1_own.reshape(B, n, qc, C).swapaxes(0, 1),
+                  f1_other.reshape(B, n, qc, C).swapaxes(0, 1))
+            own, cross = jax.lax.map(lambda t: chunk_taps(*t), xs)
+            own = own.swapaxes(0, 1).reshape(B, Q, K, self.num_levels)
+            cross = cross.swapaxes(0, 1).reshape(B, Q, K, self.num_levels)
+        else:
+            own, cross = chunk_taps(cq, f1_own, f1_other)
+
         own_out, cross_out = [], []
         for i in range(self.num_levels):
-            centers = cq[:, :, 0, :] / (2.0 ** i)
-            coords_lvl = centers[:, :, None, :] + delta
-
-            f1_own, f2_own = pyr_own[i]
-            own = self._tap_values(f1_own, f2_own, coords_lvl)
-            own_out.append(own.reshape(B, h1, w1, K))
-
-            coords_other = sample_image_window_mxu(grid_w2c_8, centers,
-                                                   self.radius)
-            f1_other, f2_other = pyr_other[i]
-            cross = self._tap_values(f1_other, f2_other, coords_other)
-            cross_img = cross.reshape(B, h1, w1, K)
-            cross_img = back_rot(cross_img, grid_back_8)
-            cross_out.append(cross_img)
+            own_out.append(own[..., i].reshape(B, h1, w1, K))
+            cross_img = cross[..., i].reshape(B, h1, w1, K)
+            cross_out.append(back_rot(cross_img, grid_back_8))
 
         own = jnp.concatenate(own_out, axis=-1).astype(jnp.float32)
         cross = jnp.concatenate(cross_out, axis=-1).astype(jnp.float32)

@@ -614,7 +614,15 @@ def _scatter_grads_window(g, cen, level_scale, Hl, Wl, dtype, radius=4):
 
 # 48 >= the measured worst-case span (40 at step-0.25 sweep) + margin.
 # "0" disables the patch path (dense fallback everywhere).
-CROSS_PATCH_ROWS = int(os.environ.get("PRIORFLOW_SCATTER_PATCH", "48"))
+#
+# Default 0 (dense): the clean round-5 chip A/B at batch-4 production
+# hparams measured PATCH=48 at 3374 ms/step vs PATCH=0 at 1843 ms/step
+# (tools/bench_train_step.py --train-only --policy dccl, 2026-08-20).
+# The FLOP saving is real (~4x fewer einsum FLOPs at level 0) but the
+# per-query dynamic row-base turns the placement gathers into the
+# batch-minormost layout pathology traced in docs/ARCHITECTURE.md §3 —
+# a ~2x step regression. Kept as an opt-in for future layouts.
+CROSS_PATCH_ROWS = int(os.environ.get("PRIORFLOW_SCATTER_PATCH", "0"))
 OWN_PATCH_ROWS = 16  # own window touches <= 10 rows (floor(c)-4 .. floor(c)+5)
 
 

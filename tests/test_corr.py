@@ -357,7 +357,13 @@ class TestPatchScatter:
     to a per-query P-row patch must equal the dense forms EXACTLY whenever
     the contributing corner rows fit the patch — which
     tools/measure_cross_span.py proves they always do for the real rotation
-    grids (worst per-query span 40 rows < P=48 at 512x1024 level 0)."""
+    grids (worst per-query span 40 rows < P=48 at 512x1024 level 0).
+
+    The patch path ships default-OFF (the round-5 chip A/B measured it at
+    3374 vs 1843 ms/step — dccl_gather.py CROSS_PATCH_ROWS note), so these
+    tests pin the opt-in P=48 explicitly."""
+
+    OPT_IN_P = 48
 
     def _real_tap_coords(self, Q, Hg=64, Wg=128, seed=0, edge_frac=0.5):
         """Cross-view tap coords for Q random window centres through the
@@ -393,8 +399,7 @@ class TestPatchScatter:
 
     def test_cross_patch_equals_dense_real_geometry(self):
         from prior_flow_tpu.ops.pallas.dccl_gather import (
-            CROSS_PATCH_ROWS, _place_patches, _scatter_grads,
-            _scatter_grads_patch)
+            _place_patches, _scatter_grads, _scatter_grads_patch)
 
         Hl, Wl = 64, 128
         tapx, tapy, _ = self._real_tap_coords(Q=192)
@@ -404,7 +409,7 @@ class TestPatchScatter:
                                Hl, Wl, jnp.float32)
         patch, base = _scatter_grads_patch(
             g, jnp.asarray(tapx), jnp.asarray(tapy), Hl, Wl, jnp.float32,
-            CROSS_PATCH_ROWS)
+            self.OPT_IN_P)
         placed = _place_patches(Hl, (patch, base))
         np.testing.assert_allclose(np.asarray(placed), np.asarray(dense),
                                    atol=1e-5, rtol=1e-5)
@@ -432,12 +437,15 @@ class TestPatchScatter:
             np.testing.assert_allclose(np.asarray(placed), np.asarray(dense),
                                        atol=1e-5, rtol=1e-5)
 
-    def test_scatter_own_cross_dispatch(self):
-        """The combined helper: patch path at level 0 (Hl=64 > P), dense
-        fallback at pooled levels — both equal to the dense pair."""
+    def test_scatter_own_cross_dispatch(self, monkeypatch):
+        """The combined helper with the patch opt-in armed: patch path at
+        level 0 (Hl=64 > P), dense fallback at pooled levels — both equal
+        to the dense pair."""
+        from prior_flow_tpu.ops.pallas import dccl_gather
         from prior_flow_tpu.ops.pallas.dccl_gather import (
             _scatter_grads, _scatter_grads_window, _scatter_own_cross)
 
+        monkeypatch.setattr(dccl_gather, "CROSS_PATCH_ROWS", self.OPT_IN_P)
         tapx, tapy, cen = self._real_tap_coords(Q=128, seed=3)
         rng = np.random.default_rng(4)
         g_own = jnp.asarray(rng.normal(size=(1, 128, 81)).astype(np.float32))
@@ -456,18 +464,53 @@ class TestPatchScatter:
 
     @pytest.mark.slow  # exhaustive centre sweep over the real grids (~60 s)
     def test_span_bound_backs_patch_size(self):
-        """The exactness precondition: per-query contributing-corner row
-        span <= CROSS_PATCH_ROWS for every realisable centre, swept densely
-        over the real 512x1024 grids at level 0."""
+        """The exactness precondition of the opt-in: per-query
+        contributing-corner row span <= P=48 for every realisable centre,
+        swept densely over the real 512x1024 grids at level 0."""
         import sys, os
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), ".."))
         from tools.measure_cross_span import span_stats
         from prior_flow_tpu.geometry.grids import rotation_grids
-        from prior_flow_tpu.ops.pallas.dccl_gather import CROSS_PATCH_ROWS
 
         g = rotation_grids(512, 1024)
         for grid in (g.a2b_w2c_8, g.b2a_w2c_8):
             gy = np.asarray(grid[..., 1], np.float64)
             _, span_q, _, _ = span_stats(gy, 64, 1.0, step=0.5)
-            assert span_q <= CROSS_PATCH_ROWS, (span_q, CROSS_PATCH_ROWS)
+            assert span_q <= self.OPT_IN_P, (span_q, self.OPT_IN_P)
+
+
+class TestOnTheFlyQueryChunk:
+    def test_chunked_equals_unchunked(self, rng):
+        """The lax.map query chunking (the 2048x4096 compile-OOM fix) is a
+        pure restructure: identical tap values and back-rotation to the
+        unchunked graph on the same inputs."""
+        from prior_flow_tpu.ops.corr import DCCLOnTheFly
+
+        B, h, w, C = 1, 8, 16, 32
+        Q = h * w
+        f1 = jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+        pyr = DCCLOnTheFly.build_pyramid(f1, f2, num_levels=3)
+        coords = jnp.asarray(
+            rng.uniform(size=(B, h, w, 2)).astype(np.float32)
+        ) * jnp.asarray([w - 1.0, h - 1.0])
+        # dynamic back grid -> cycle_bilinear_sample back-rotation path
+        grid_back = jnp.asarray(
+            rng.uniform(size=(B, h, w, 2)).astype(np.float32)
+        ) * jnp.asarray([w - 1.0, h - 1.0])
+        grid_w2c = grid_back[0]  # (h, w, 2) broadcast branch
+
+        dense = DCCLOnTheFly(num_levels=3, query_chunk=-1)
+        chunked = DCCLOnTheFly(num_levels=3, query_chunk=Q // 4)
+        o1 = dense(coords, pyr, pyr, grid_w2c, grid_back)
+        o2 = chunked(coords, pyr, pyr, grid_w2c, grid_back)
+        for a, b in zip(o1, o2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
+    def test_auto_threshold_leaves_small_q_unchunked(self):
+        from prior_flow_tpu.ops.corr import DCCLOnTheFly
+        # 512x1024 production shape: Q = 8192 < QUERY_CHUNK_AUTO, so the
+        # headline onthefly config keeps its round-4-measured graph
+        assert 8192 <= DCCLOnTheFly.QUERY_CHUNK_AUTO
