@@ -171,10 +171,23 @@ def _get_plan(grid: np.ndarray, src_hw, mode) -> _Plan:
 
 def _rows(flat, idx_np):
     """Row gather: flat (B, R, C) at static indices (M,) -> (B, M, C).
-    Size-1 index dims broadcast inside take_along_axis, so XLA sees
-    whole-row (C-contiguous) gathers."""
-    idx = jnp.asarray(idx_np.reshape(-1), jnp.int32)[None, :, None]
-    return jnp.take_along_axis(flat, idx, axis=1)
+
+    The operand is collapsed to 2-D (B*R, C) with per-batch row offsets
+    baked into the static index constant, so XLA sees a plain row gather
+    on a rank-2 buffer. Rationale: the pre-bucketing train-step trace
+    (2026-08-20) showed layout assignment propagating the producer's
+    batch-minormost layout into the 3-D ``take_along_axis`` form's
+    operand (`f32[4,525825,24]{1,2,0}`), striding every C-contiguous row
+    read across the whole array. Chip A/B AFTER degree bucketing: 2-D
+    1849 ms/step vs 3-D 1843 — a null; the bucketed plans' smaller
+    gathers no longer bind on layout. The 2-D form is kept as the
+    layout-robust shape (docs/ARCHITECTURE.md §3 "Round-5 levers")."""
+    B, R, C = flat.shape
+    idx = idx_np.reshape(-1).astype(np.int64)
+    full = np.arange(B, dtype=np.int64)[:, None] * R + idx[None, :]
+    rows = jnp.take(flat.reshape(B * R, C),
+                    jnp.asarray(full.reshape(-1), jnp.int32), axis=0)
+    return rows.reshape(B, idx.size, C)
 
 
 def _fwd_apply(plan: _Plan, img):

@@ -247,6 +247,41 @@ class TestScaleOnTheFly:
                                    atol=5e-4, rtol=1e-4)
 
 
+    @pytest.mark.slow  # two production-shape compiles on the 1-core host
+    def test_onthefly_sharded_production_shape(self):
+        """The scale combination at the shape it exists for (VERDICT r4
+        item 6b): corr_mode='onthefly' + 2x4 data x space mesh at the FULL
+        512x1024 production resolution (h/8 = 64 -> 16 query rows per
+        'space' device). Sharded forward must equal the single-device
+        onthefly forward (onthefly==volume exactness is gated at 64x128
+        above; this verifies the sharding at scale)."""
+        from prior_flow_tpu.parallel.mesh import (make_mesh_2d, replicated,
+                                                  spatial_batch_sharding)
+
+        Hp, Wp = 512, 1024
+        rng = np.random.default_rng(9)
+        img1 = jnp.asarray(rng.uniform(0, 255, (2, Hp, Wp, 3)
+                                       ).astype(np.float32))
+        img2 = jnp.asarray(rng.uniform(0, 255, (2, Hp, Wp, 3)
+                                       ).astype(np.float32))
+        otf = PriOrRAFT(precision="highest", corr_mode="onthefly")
+        variables = otf.init(jax.random.PRNGKey(0), img1[:1], img2[:1],
+                             iters=1)
+        ref = jax.jit(lambda v, a, b: otf.apply(
+            v, a, b, iters=2, test_mode=True))(variables, img1, img2)
+
+        mesh = make_mesh_2d(2, 4)
+        rep = replicated(mesh)
+        bsh = spatial_batch_sharding(mesh)
+        f = jax.jit(lambda v, a, b: otf.apply(
+            v, a, b, iters=2, test_mode=True),
+            in_shardings=(rep, bsh, bsh), out_shardings=bsh)
+        out = f(jax.device_put(variables, rep),
+                jax.device_put(img1, bsh), jax.device_put(img2, bsh))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-4)
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys, os

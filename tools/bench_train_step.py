@@ -58,6 +58,9 @@ def main():
                     help="single-forward taped backward (one stacked "
                          "scatter per level/branch, no recording scan; "
                          "train/trainer.py::taped_value_and_grad)")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="train-step batch (4 = EFT recipe; 6 = the "
+                         "FlowScape recipe, scripts/train_FlowScape.sh)")
     args = ap.parse_args()
     rng = jax.random.PRNGKey(0)
 
@@ -74,10 +77,10 @@ def main():
         print(f"inference B={B}: {per * 1e3:8.1f} ms/call  "
               f"{B / per:6.2f} pairs/s", flush=True)
 
-    # --- train step, canonical batch 4 ---
+    # --- train step, canonical batch 4 (--batch 6 = FlowScape recipe) ---
     if args.infer_only:
         return
-    B = 4
+    B = args.batch
     model = PriOrRAFT(mixed_precision=True, remat=True,
                       remat_policy=args.policy,
                       deferred_vol_grad=args.deferred)
@@ -108,7 +111,7 @@ def main():
     times.sort()
     tag = args.policy + ("+deferred" if args.deferred else "") + (
         "+taped" if args.taped else "")
-    print(f"train step B=4 [{tag}]: "
+    print(f"train step B={B} [{tag}]: "
           f"{times[len(times) // 2] * 1e3:.0f} ms "
           f"({B / times[len(times) // 2]:.2f} pairs/s)", flush=True)
 
