@@ -57,19 +57,11 @@ class TestOneCycle:
 
 
 class TestTrainStep:
-    def test_single_device_step_updates_params(self, model_and_state,
-                                               step_fn):
-        model, tx, state = model_and_state
-        state2, metrics = step_fn(state, _batch(2), jax.random.PRNGKey(1))
-        assert int(state2.step) == 1
-        assert np.isfinite(float(metrics["train/loss"]))
-        # params actually moved
-        p0 = jax.tree_util.tree_leaves(state.params)[0]
-        p1 = jax.tree_util.tree_leaves(state2.params)[0]
-        assert not np.allclose(np.asarray(p0), np.asarray(p1))
-
-    def test_loss_decreases_on_repeated_batch(self, model_and_state,
-                                              step_fn):
+    def test_step_updates_params_and_loss_decreases(self, model_and_state,
+                                                    step_fn):
+        """One 5-step run covers both contracts (update semantics after
+        step 1, optimisation progress by step 5) — the two separate tests
+        cost 2x52 s of pure step re-execution on this 1-core host."""
         model, tx, state = model_and_state
         batch = _batch(1, rng_seed=3)
         rng = jax.random.PRNGKey(0)
@@ -77,6 +69,13 @@ class TestTrainStep:
         for i in range(5):
             state, metrics = step_fn(state, batch, rng)
             losses.append(float(metrics["train/loss"]))
+            if i == 0:
+                assert int(state.step) == 1
+                assert np.isfinite(losses[0])
+                p0 = jax.tree_util.tree_leaves(
+                    model_and_state[2].params)[0]
+                p1 = jax.tree_util.tree_leaves(state.params)[0]
+                assert not np.allclose(np.asarray(p0), np.asarray(p1))
         assert losses[-1] < losses[0]
 
 

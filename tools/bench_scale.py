@@ -54,17 +54,23 @@ def bench_config(H, W, corr_mode, lookup_mode="pallas", runs=RUNS):
     variables = model.init(rng, img1, img2, iters=1)
     fwd = jax.jit(lambda v, a, b, s: model.apply(
         v, a + s * 1e-30, b, iters=12, test_mode=True).sum())
+    # s must be a STRONG-typed f32 device scalar in every call: the chained
+    # loop feeds fwd's own f32[] output back in, and a weak-typed Python
+    # 0.0 warmup would compile a SECOND graph and put the recompile inside
+    # the timed loop (the first run of this script measured 13.4 s
+    # "sustained" at 512x1024 — that was the compile, not the model)
+    zero = jnp.zeros((), jnp.float32)
     for _ in range(WARMUP):
-        float(fwd(variables, img1, img2, 0.0))
+        float(fwd(variables, img1, img2, zero))
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        _ = float(fwd(variables, img1, img2, 0.0))
+        _ = float(fwd(variables, img1, img2, zero))
         times.append(time.perf_counter() - t0)
     times.sort()
     sync_p50 = times[len(times) // 2]
+    out = zero  # same f32[] aval as fwd's output -> one compiled graph
     t0 = time.perf_counter()
-    out = 0.0
     for _ in range(max(runs, 4)):
         out = fwd(variables, img1, img2, out)
     _ = float(out)
