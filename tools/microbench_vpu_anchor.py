@@ -43,32 +43,43 @@ GRID = 128                 # instances -> GRID*TILE_R*LANES*K element-ops
 INTERPRET = bool(int(os.environ.get("ANCHOR_INTERPRET", "0")))  # CPU smoke
 
 
-def _kernel(x_ref, i_ref, o_ref, *, kind):
+def _kernel(x_ref, i_ref, o_ref, *, kind, ilp):
+    """``ilp`` independent chains of K ops each. ilp=1 measures the
+    latency-bound rate (strict serial dependence); ilp=4 exposes the
+    instruction-level parallelism the production kernel's 4 concurrent
+    corner picks have, approaching the primitive's throughput limit. The
+    roofline floor divides by the BEST measured rate (conservative)."""
     x = x_ref[...]
     idx = i_ref[...]
 
     if kind == "select":
-        def body(k, y):
-            # mask varies with k (bit test, like _row_select's halving
-            # stages); y carries the dependence
-            bit = (idx & (1 + (k % 7))) != 0
+        def step(k, y, j):
+            bit = (idx & (1 + ((k + j) % 7))) != 0
             return jnp.where(bit, x, y)
     elif kind == "gather":
-        def body(k, y):
+        def step(k, y, j):
             return jnp.take_along_axis(y, idx, axis=1)
     elif kind == "fma":
-        def body(k, y):
+        def step(k, y, j):
             return y * x + x
     else:
         raise ValueError(kind)
 
-    o_ref[...] = jax.lax.fori_loop(0, K, body, x * 0.5)
+    def body(k, ys):
+        return tuple(step(k, y, j) for j, y in enumerate(ys))
+
+    init = tuple(x * (0.5 + 0.1 * j) for j in range(ilp))
+    ys = jax.lax.fori_loop(0, K // ilp, body, init)
+    out = ys[0]
+    for y in ys[1:]:
+        out = out + y
+    o_ref[...] = out
 
 
-def _build(kind):
+def _build(kind, ilp=1):
     spec = pl.BlockSpec((TILE_R, LANES), lambda g: (g, 0))
     return pl.pallas_call(
-        functools.partial(_kernel, kind=kind),
+        functools.partial(_kernel, kind=kind, ilp=ilp),
         grid=(GRID,),
         in_specs=[spec, spec],
         out_specs=spec,
@@ -117,12 +128,13 @@ def main():
 
     n_elem = GRID * TILE_R * LANES * K
     for kind in ("select", "gather", "fma"):
-        f = jax.jit(_build(kind))
-        t = timeit(f, x, idx if kind != "fma" else x.astype(jnp.int32) * 0
-                   + idx)
-        print(f"{kind:>8}: {t * 1e3:8.3f} ms for {K} chained ops x "
-              f"{GRID}x({TILE_R},{LANES}) f32 tiles -> "
-              f"{n_elem / t / 1e12:6.3f} T elem-ops/s", flush=True)
+        for ilp in (1, 4):
+            f = jax.jit(_build(kind, ilp))
+            t = timeit(f, x, idx)
+            print(f"{kind:>8} ilp={ilp}: {t * 1e3:8.3f} ms for "
+                  f"{K // ilp * ilp} ops x {GRID}x({TILE_R},{LANES}) f32 "
+                  f"tiles -> {n_elem / t / 1e12:6.3f} T elem-ops/s",
+                  flush=True)
 
     # per-grid-step fixed cost: slope of time vs grid steps
     g1, g2 = 512, 4096
