@@ -35,6 +35,17 @@ BATCH_THROUGHPUT = 4  # secondary serving-throughput measurement
 
 V5E_PEAK_BF16_TFLOPS = 197.0
 
+# DCCL-lookup speed-of-light composite at THIS config (512x1024, 12
+# iters): op counts from tools/roofline_model.py (9.06 G gather / 21.14 G
+# select / 14.09 G fma / 12,288 grid steps per forward) divided by v5e
+# hardware peaks (crossbar ~0.96 T elem/s, VPU ALU 3.85 T, 0.162 us/step
+# measured by tools/microbench_vpu_anchor.py) -> 20.6 ms; the kernel's
+# measured per-level lookup total is 56.1 ms (docs/ARCHITECTURE.md §7).
+# MFU is the wrong lens for this gather/select-bound model; these fields
+# carry the binding-resource denominator instead.
+DCCL_SOL_MS = 20.6
+DCCL_MEASURED_MS = 56.1
+
 # Timeout-proofing: if the driver's `timeout` SIGTERMs us mid-compile
 # (a cold XLA+Mosaic cache costs tens of minutes), still emit ONE JSON
 # line — the last completed run's record (flagged "stale") or an explicit
@@ -158,6 +169,13 @@ def main():
     if flops:
         rec["tflop_per_pair"] = round(flops / 1e12, 3)
         rec["mfu"] = round(flops * fps / (V5E_PEAK_BF16_TFLOPS * 1e12), 4)
+    if (H, W, ITERS) == (512, 1024, 12):
+        # binding-resource roofline (ARCHITECTURE §7): the model is
+        # VPU-bound in its DCCL lookup, not MXU-bound — mfu understates it
+        rec["binding_resource"] = "vpu (gather+select network)"
+        rec["dccl_sol_ms"] = DCCL_SOL_MS
+        rec["dccl_measured_ms"] = DCCL_MEASURED_MS
+        rec["dccl_x_of_sol"] = round(DCCL_MEASURED_MS / DCCL_SOL_MS, 2)
 
     # The sustained measurement is complete: make it the SIGTERM record and
     # the stale fallback NOW, before the batch-4 secondary risks a cold
