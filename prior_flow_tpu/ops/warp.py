@@ -37,8 +37,19 @@ def img_rotate(image, sample_grid):
     # payloads: the 4C-channel concat quadruples gather traffic, so wide
     # feature maps keep the 4-gather path (same heuristic as
     # static_resample's packed gate).
-    return cycle_bilinear_sample(image, sample_grid,
-                                 packed=image.shape[-1] <= 16)
+    packed = image.shape[-1] <= 16
+    if packed and image.shape[0] > 1:
+        # per-batch-element gathers: XLA layout assignment gives the
+        # BATCHED gather a batch-minormost operand (f32[4,525825,24]
+        # {1,2,0} in the train-step trace) that strides every row read
+        # across the whole array; splitting the batch is bit-exact and
+        # measured 3.8x faster (72.1 -> 19.2 ms, batch 4 at 512x1024 C=6,
+        # tools/bench_img_rotate.py, 2026-08-20)
+        return jnp.concatenate(
+            [cycle_bilinear_sample(image[i:i + 1], sample_grid[i:i + 1],
+                                   packed=True)
+             for i in range(image.shape[0])], axis=0)
+    return cycle_bilinear_sample(image, sample_grid, packed=packed)
 
 
 def img_a2b(image):

@@ -211,8 +211,19 @@ def make_train_step(model, tx, iters: int = 12, gamma: float = 0.8,
     def train_step(state: TrainState, batch, rng):
         image1, image2, flow_gt, valid = batch
 
-        # B-branch GT synthesised on device, no grad (train_flow.py:123-126)
-        flow_gt_B = jax.lax.stop_gradient(flo_a2b(flow_gt))
+        # B-branch GT synthesised on device, no grad (train_flow.py:123-126).
+        # Per-batch-element: the batched packed-corner gathers inside
+        # flo_rotate draw batch-minormost operand layouts from XLA
+        # (4 x ~15 ms/step of 2-wide gathers in the train-step trace,
+        # 2026-08-20); splitting is bit-exact and sidesteps it (same
+        # finding as img_rotate — tools/bench_img_rotate.py)
+        B = flow_gt.shape[0]
+        if B > 1:
+            flow_gt_B = jnp.concatenate(
+                [flo_a2b(flow_gt[i:i + 1]) for i in range(B)], axis=0)
+        else:
+            flow_gt_B = flo_a2b(flow_gt)
+        flow_gt_B = jax.lax.stop_gradient(flow_gt_B)
         valid_B = ((jnp.abs(flow_gt_B[..., 0]) < 1000) &
                    (jnp.abs(flow_gt_B[..., 1]) < 1000)).astype(jnp.float32)
 
