@@ -69,6 +69,9 @@ def test_export_roundtrip_through_file(model_and_vars, tmp_path):
     assert summary["num_weight_leaves"] > 0
 
 
+@pytest.mark.slow  # ~32 s subprocess; the export/AOT CONTRACTS stay fast
+# via test_export_roundtrip_through_file + test_aot_compile_matches_live —
+# this adds only the argparse surface on top
 def test_export_cli_writes_and_checks(tmp_path):
     # end-to-end through the CLI: init a model, save a native ckpt the CLI
     # can load, export, and self-check

@@ -148,6 +148,9 @@ class TestMultiChip:
 
 
 class TestSpatialSharding:
+    @pytest.mark.slow  # ~60 s CPU-mesh compile; the SAME dp x sp train-step
+    # path is gated fast by TestScaleOnTheFly's sharded-vs-single equality
+    # and executed every round by the driver's dryrun_multichip (2x4 mesh)
     def test_2d_mesh_equals_single_device(self, model_and_state, step_fn):
         """data x space (2x4) sharding — batch over 'data', image height over
         'space' (XLA conv halo exchange) — must reproduce the single-device
@@ -282,6 +285,8 @@ class TestScaleOnTheFly:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow  # ~32 s; the driver compile-checks entry() itself
+    # every round — keeping a copy in the fast tier pays the compile twice
     def test_entry_compiles(self):
         import sys, os
         sys.path.insert(0, os.path.dirname(os.path.dirname(
