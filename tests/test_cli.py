@@ -47,6 +47,9 @@ class TestEvaluateCLI:
 
 
 class TestDemoImageCLI:
+    @pytest.mark.slow  # ~42 s; real-frames CLI coverage stays fast via
+    # TestVideoCLI::test_sequence_with_warm_start (~20 s, same image I/O,
+    # model forward and viz surface)
     def test_demo_frames_end_to_end(self, tmp_path):
         """demo_image on the bundled demo-frames/ pair (the reference's
         demo_image.py:20-42 smoke path): random-init checkpoint, downscaled

@@ -82,6 +82,40 @@ def main():
                               "error": f"{type(e).__name__}: "
                                        f"{str(e)[:200]}"}), flush=True)
 
+    # Batch axis: multi-stream serving (N independent pairs per dispatch).
+    # Amortises per-dispatch overhead and batches the conv stack; the DCCL
+    # kernel's grid is B*Q tiles so its per-pair cost is flat by
+    # construction — any delta is conv/dispatch amortisation vs HBM
+    # pressure. Batch 1 is the headline protocol; this quantifies what a
+    # serving fleet gains (or loses) by batching streams per chip.
+    for batch in (2, 4):
+        for iters in (12, 6):
+            def _callb(v, a, b, s, iters=iters):
+                return model.apply(v, a + s * jnp.float32(1e-30), b,
+                                   iters=iters, test_mode=True).sum()
+
+            fwdb = jax.jit(_callb)
+            try:
+                a = jnp.tile(img1, (batch, 1, 1, 1))
+                b = jnp.tile(img2, (batch, 1, 1, 1))
+                zero = jnp.float32(0.0)
+                for _ in range(WARMUP):
+                    _ = float(fwdb(variables, a, b, zero))
+                t0 = time.perf_counter()
+                out = zero
+                for _ in range(RUNS):
+                    out = fwdb(variables, a, b, out)
+                _ = float(out)
+                per = (time.perf_counter() - t0) / RUNS / batch
+                print(json.dumps({
+                    "mode": f"batch={batch} iters={iters} chained",
+                    "sustained_ms_per_pair": round(per * 1e3, 1),
+                    "pairs_per_s": round(1.0 / per, 3)}), flush=True)
+            except Exception as e:
+                print(json.dumps({"mode": f"batch={batch} iters={iters}",
+                                  "error": f"{type(e).__name__}: "
+                                           f"{str(e)[:200]}"}), flush=True)
+
 
 if __name__ == "__main__":
     main()
