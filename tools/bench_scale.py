@@ -43,6 +43,7 @@ def bench_config(H, W, corr_mode, lookup_mode="pallas", runs=RUNS):
       overlap the device and the tunnel latency amortises away.
     """
     import jax
+    import jax.numpy as jnp
 
     from prior_flow_tpu.models import PriOrRAFT
 
@@ -79,12 +80,23 @@ def bench_config(H, W, corr_mode, lookup_mode="pallas", runs=RUNS):
 
 
 def main():
+    import argparse
+
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="run just one config, e.g. '2048x4096 onthefly' "
+                         "(compute at that shape is ~16x the 1024x2048 "
+                         "case — filter so a chip window isn't spent "
+                         "re-measuring the settled rows)")
+    ap.add_argument("--runs", type=int, default=RUNS)
+    args = ap.parse_args()
 
     configs = [
         (512, 1024, "volume"),
@@ -95,9 +107,14 @@ def main():
         # scaling is bounded by FLOPs, not by the correlation volume.
         (2048, 4096, "onthefly"),
     ]
+    if args.only:
+        configs = [(H, W, m) for H, W, m in configs
+                   if f"{H}x{W} {m}" == args.only]
+        assert configs or args.only == "1024x2048 volume", \
+            f"unknown --only {args.only!r}"
     for H, W, mode in configs:
         try:
-            p50, sus = bench_config(H, W, mode)
+            p50, sus = bench_config(H, W, mode, runs=args.runs)
             print(json.dumps({
                 "config": f"{H}x{W} {mode}",
                 "sync_p50_ms": round(p50 * 1e3, 1),
@@ -111,6 +128,8 @@ def main():
 
     # evidence case: the materialised volume at 1024x2048 via the lean
     # chunked build
+    if args.only and args.only != "1024x2048 volume":
+        return
     try:
         p50, sus = bench_config(1024, 2048, "volume", runs=2)
         print(json.dumps({"config": "1024x2048 volume",
