@@ -7,6 +7,7 @@ checkpoint converter (checkpoint/convert.py) is a pure name/layout map.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -54,7 +55,8 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_dtype = self.dtype or x.dtype
-        if jax.default_backend() == "tpu" and x.ndim == 4:
+        if (jax.default_backend() == "tpu" and x.ndim == 4
+                and not os.environ.get("PRIORFLOW_NO_PALLAS_NORM")):
             # fused two-pass Pallas kernel: streams the activation in its
             # native layout (XLA's reduce-between-convs otherwise inserts
             # full-tensor relayout copies — ~18 ms/fnet forward at
